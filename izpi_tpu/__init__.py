@@ -1,0 +1,26 @@
+"""izpi_tpu — a TPU-native differentiable spectral path tracer.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of flynn-nrg/izpi
+(a Go CPU path tracer; see /root/reference and SURVEY.md). Instead of izpi's
+pointer-chasing object graph with per-ray recursion (reference:
+internal/sampler/colour.go), everything here is a wavefront computation over
+struct-of-array (SoA) buffers:
+
+- a ray batch is a pytree of (N,)/(N,3) float32 arrays,
+- the scene is compiled to flat primitive/material/texture tables
+  (izpi_tpu.scene.compiler, the analog of internal/transport/transport.go),
+- the bounce recursion becomes a `lax.while_loop` over depth with masked
+  lockstep rays (izpi_tpu.integrator),
+- acceleration is a SoA BVH built on host and traversed on device
+  (izpi_tpu.accel), with a brute-force all-primitives intersector as the
+  correctness oracle and the fast path for small scenes,
+- scale-out is `shard_map` over a `jax.sharding.Mesh` (izpi_tpu.parallel)
+  instead of izpi's gRPC leader/worker tile streaming.
+
+Default dtype is float32 (the reference uses float64 on CPU; tolerance for the
+difference is budgeted in the parity tests).
+"""
+
+__version__ = "0.1.0"
+
+from izpi_tpu.scene import types as scene_types  # noqa: F401

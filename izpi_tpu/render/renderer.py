@@ -1,0 +1,108 @@
+"""Render driver: pixels → ray batches → accumulated image.
+
+The analog of internal/render/renderer.go + rgb.go, redesigned for TPU:
+instead of goroutines pulling spiral-ordered tiles from a channel
+(renderer.go:112-151), the whole image is one ray wavefront (optionally
+chunked by rows to bound memory), and samples-per-pixel is a host loop of
+jitted passes accumulating on device. Tiles reappear only as the sharding
+axis in izpi_tpu.parallel.
+
+Pixel convention matches render/rgb.go:30-40: film coords u=(x+ξ)/nx,
+v=(y+ξ)/ny with v up; the canvas is row-flipped so image[0] is the top row.
+Every per-sample color is DeNAN'd before accumulation (rgb.go:36).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as time_mod
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from izpi_tpu import camera as camera_mod
+from izpi_tpu.core import rng
+from izpi_tpu.core import vecmath as vm
+from izpi_tpu.integrator import path as path_mod
+from izpi_tpu.scene import types as st
+from izpi_tpu.scene.compiler import CompiledScene, SceneMeta, compile_scene
+
+CAMERA_SALT = 0x5EED
+
+
+@dataclasses.dataclass
+class RenderResult:
+    image: np.ndarray      # (ny, nx, 3) float32, linear
+    rays_traced: int
+    seconds: float
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return self.rays_traced / max(self.seconds, 1e-9) / 1e6
+
+
+def sample_pass(cs: CompiledScene, meta: SceneMeta,
+                settings: path_mod.RenderSettings, intersect,
+                nx: int, ny: int, xs, ys, base_key, sample_id):
+    """One sample for a batch of pixels. xs, ys: (N,) int32 pixel coords.
+    Returns (color (N,3) DeNAN'd, rays ())."""
+    pixel_ids = ys * nx + xs
+    keys = rng.path_keys(base_key, pixel_ids, sample_id)
+    cam_u = rng.bounce_uniforms(keys, jnp.int32(0), 5, salt=CAMERA_SALT)
+    s = (xs.astype(jnp.float32) + cam_u[:, 0]) / nx
+    t = (ys.astype(jnp.float32) + cam_u[:, 1]) / ny
+    o, d, tme = camera_mod.get_rays(cs.camera, s, t, cam_u[:, 2:5])
+    color, nrays = path_mod.trace(cs, meta, settings, intersect, o, d, tme, keys)
+    return vm.de_nan(color), nrays
+
+
+def render(scene: st.Scene, nx: int, ny: int, spp: int,
+           settings: Optional[path_mod.RenderSettings] = None,
+           seed: int = 0, intersect_factory=None,
+           row_chunk: Optional[int] = None,
+           verbose: bool = False) -> RenderResult:
+    """Render a scene on the current default device.
+
+    row_chunk: rows per wavefront (defaults to the whole image when it fits
+    under ~1M rays per pass).
+    """
+    settings = settings or path_mod.RenderSettings()
+    cs, meta = compile_scene(scene)
+    if intersect_factory is None:
+        intersect_factory = path_mod.make_brute_intersector
+    intersect = intersect_factory(cs)
+
+    if row_chunk is None:
+        row_chunk = max(1, min(ny, (1 << 20) // nx))
+
+    base_key = rng.render_key(seed)
+
+    @partial(jax.jit, static_argnames=("n_rows",), donate_argnums=(3,))
+    def pass_fn(y0, sample_id, key, acc, n_rows):
+        ys = y0 + jnp.repeat(jnp.arange(n_rows, dtype=jnp.int32), nx)
+        xs = jnp.tile(jnp.arange(nx, dtype=jnp.int32), n_rows)
+        color, nrays = sample_pass(
+            cs, meta, settings, intersect, nx, ny, xs, ys, key, sample_id
+        )
+        return acc + color, nrays
+
+    t0 = time_mod.perf_counter()
+    image = np.zeros((ny, nx, 3), np.float32)
+    total_rays = 0
+    for y0 in range(0, ny, row_chunk):
+        n_rows = min(row_chunk, ny - y0)
+        acc = jnp.zeros((n_rows * nx, 3), jnp.float32)
+        for s in range(spp):
+            acc, nrays = pass_fn(jnp.int32(y0), jnp.int32(s), base_key, acc,
+                                 n_rows=n_rows)
+            total_rays += int(nrays)
+        block = np.asarray(acc / spp).reshape(n_rows, nx, 3)
+        # v-up → row flip (rgb.go:40: canvas.Set(x, ny-y)).
+        image[ny - y0 - n_rows: ny - y0] = block[::-1]
+        if verbose:
+            print(f"rows {y0}..{y0 + n_rows} done")
+    seconds = time_mod.perf_counter() - t0
+    return RenderResult(image=image, rays_traced=total_rays, seconds=seconds)

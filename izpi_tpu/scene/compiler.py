@@ -1,0 +1,560 @@
+"""Scene compiler: host-side description → flat device SoA arrays.
+
+The analog of the reference's proto→object-graph compiler
+(internal/transport/transport.go:53 `ToScene`), but emitting flat arrays:
+primitive SoA, material parameter table, texture table + image stack, light
+member SoA, SPD stack, camera arrays. Rigid transforms
+(Translate/RotateY/FlipNormals) are baked into geometry; see
+izpi_tpu.scene.types.
+
+World/lights derivation matches transport.go:67-80: the world is every
+hitable; the light list is every hitable whose material reports IsEmitter()
+(DiffuseLight and — deliberately — Dielectric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from izpi_tpu import camera as camera_mod
+from izpi_tpu.geometry import primitives as prim
+from izpi_tpu.integrator import lights as lights_mod
+from izpi_tpu.materials import tables as mat_tables
+from izpi_tpu.scene import types as st
+from izpi_tpu.spectral import spd as spd_mod
+from izpi_tpu.texture import perlin as perlin_mod
+from izpi_tpu.texture import tables as tex_tables
+
+
+class CompiledScene(NamedTuple):
+    """Everything the device needs, as one pytree of arrays."""
+
+    prims: prim.Prims
+    materials: mat_tables.Materials
+    textures: tex_tables.Textures
+    lights: lights_mod.Lights
+    camera: camera_mod.CameraArrays
+    spd_table: jax.Array  # (S, 371) f32 on the 1nm grid (dummy row 0 = zeros)
+
+
+@dataclasses.dataclass
+class SceneMeta:
+    """Static (non-traced) facts about the compiled scene."""
+
+    n_prims: int
+    n_materials: int
+    n_lights: int
+    has_absorbing_dielectric: bool
+    spectral: bool
+    exposure: float
+    spectral_background_spd: Optional[int]  # SPD id or None
+
+
+@dataclasses.dataclass
+class _Transform:
+    """Composed rigid transform: p_world = R @ p + t."""
+
+    rot: np.ndarray  # (3,3)
+    trans: np.ndarray  # (3,)
+    flip: bool
+
+    @staticmethod
+    def identity() -> "_Transform":
+        return _Transform(np.eye(3), np.zeros(3), False)
+
+    def point(self, p) -> np.ndarray:
+        return self.rot @ np.asarray(p, dtype=np.float64) + self.trans
+
+    def vector(self, v) -> np.ndarray:
+        return self.rot @ np.asarray(v, dtype=np.float64)
+
+    def then_translate(self, offset) -> "_Transform":
+        return _Transform(self.rot, self.trans + self.rot @ np.asarray(offset, np.float64), self.flip)
+
+    def then_rotate_y(self, degrees: float) -> "_Transform":
+        # Object→world rotation matching rotate_y.go's inverse ray transform:
+        # x' = cosθ·x + sinθ·z ; z' = -sinθ·x + cosθ·z  (rotate_y.go:96-110).
+        rad = math.pi / 180.0 * degrees
+        c, s = math.cos(rad), math.sin(rad)
+        r = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        return _Transform(self.rot @ r, self.trans, self.flip)
+
+    def then_flip(self) -> "_Transform":
+        return _Transform(self.rot, self.trans, not self.flip)
+
+
+class _Builder:
+    def __init__(self) -> None:
+        # textures
+        self.tex_kind: List[int] = []
+        self.tex_c0: List[np.ndarray] = []
+        self.tex_c1: List[np.ndarray] = []
+        self.tex_scale: List[float] = []
+        self.tex_img_id: List[int] = []
+        self.images: List[np.ndarray] = []
+        self._tex_cache: Dict[int, int] = {}
+        self._img_cache: Dict[int, int] = {}
+        # materials
+        self.mat_rows: List[dict] = []
+        self._mat_cache: Dict[int, int] = {}
+        # prims
+        self.p_kind: List[int] = []
+        self.p_g0: List[np.ndarray] = []
+        self.p_g1: List[np.ndarray] = []
+        self.p_g2: List[np.ndarray] = []
+        self.p_g3: List[np.ndarray] = []
+        self.p_mat: List[int] = []
+        self.p_flip: List[bool] = []
+        self.p_uv: List[np.ndarray] = []
+        self.p_vn: List[np.ndarray] = []
+        self.p_has_vn: List[bool] = []
+        self.p_tb: List[np.ndarray] = []
+        # lights
+        self.l_kind: List[int] = []
+        self.l_0: List[np.ndarray] = []
+        self.l_1: List[np.ndarray] = []
+        self.l_2: List[np.ndarray] = []
+        self.l_n: List[np.ndarray] = []
+        self.l_area: List[float] = []
+        self.l_radius: List[float] = []
+        # spectra
+        self.spds: List[np.ndarray] = [np.zeros(spd_mod.DEVICE_GRID_N, np.float32)]
+        self.has_absorbing_dielectric = False
+
+    # ---------------- textures ----------------
+
+    def add_constant_color(self, color) -> int:
+        return self._add_texture(st.ConstantTexture(tuple(float(x) for x in color)))
+
+    def _add_texture(self, t: st.Texture) -> int:
+        key = id(t) if isinstance(t, st.ImageTexture) else hash((type(t).__name__, t if not isinstance(t, st.CheckerTexture) else (id(t.odd), id(t.even))))
+        if key in self._tex_cache:
+            return self._tex_cache[key]
+        if isinstance(t, st.ConstantTexture):
+            row = (tex_tables.TEX_CONSTANT, np.array(t.color, np.float64), np.zeros(3), 0.0, -1)
+        elif isinstance(t, st.CheckerTexture):
+            if not (isinstance(t.odd, st.ConstantTexture) and isinstance(t.even, st.ConstantTexture)):
+                raise NotImplementedError("checker children must be constant textures")
+            row = (tex_tables.TEX_CHECKER, np.array(t.odd.color, np.float64), np.array(t.even.color, np.float64), 0.0, -1)
+        elif isinstance(t, st.ImageTexture):
+            img_id = self._add_image(t)
+            row = (tex_tables.TEX_IMAGE, np.zeros(3), np.zeros(3), 0.0, img_id)
+        elif isinstance(t, st.NoiseTexture):
+            row = (tex_tables.TEX_NOISE, np.zeros(3), np.zeros(3), float(t.scale), -1)
+        else:
+            raise TypeError(f"unknown texture {t!r}")
+        tid = len(self.tex_kind)
+        self.tex_kind.append(row[0])
+        self.tex_c0.append(row[1])
+        self.tex_c1.append(row[2])
+        self.tex_scale.append(row[3])
+        self.tex_img_id.append(row[4])
+        self._tex_cache[key] = tid
+        return tid
+
+    def _add_image(self, t: st.ImageTexture) -> int:
+        key = id(t.data)
+        if key in self._img_cache:
+            return self._img_cache[key]
+        data = np.asarray(t.data, dtype=np.float32)
+        if data.ndim == 2:
+            data = data[..., None].repeat(3, axis=-1)
+        data = data[..., :3]
+        # Bake FlipX/FlipY (texture/image.go:104-133) into the stored pixels.
+        if t.flip_y:
+            data = data[::-1, :, :]
+        if t.flip_x:
+            data = data[:, ::-1, :]
+        iid = len(self.images)
+        self.images.append(data)
+        self._img_cache[key] = iid
+        return iid
+
+    # ---------------- spectra ----------------
+
+    def add_spd(self, spd: spd_mod.SPD) -> int:
+        sid = len(self.spds)
+        self.spds.append(spd.to_device_grid())
+        return sid
+
+    def add_spectral_texture(self, t: Optional[st.SpectralTexture]):
+        """Returns (spd_id, gauss_params). Gaussian spectral constants stay
+        parametric (texture/spectral_constant.go:27); tabulated/neutral become
+        SPD rows; checker/image handled in later rounds."""
+        if t is None:
+            return -1, np.zeros(3, np.float64)
+        if isinstance(t, st.SpectralGaussian):
+            return -1, np.array([t.peak, t.center, t.width], np.float64)
+        if isinstance(t, st.SpectralTabulated):
+            return self.add_spd(spd_mod.SPD(np.array(t.wavelengths), np.array(t.values))), np.zeros(3, np.float64)
+        if isinstance(t, st.SpectralNeutral):
+            return self.add_spd(spd_mod.SPD.constant(t.value)), np.zeros(3, np.float64)
+        raise NotImplementedError(f"spectral texture {type(t).__name__} not yet compiled")
+
+    # ---------------- materials ----------------
+
+    def add_material(self, m: st.Material) -> int:
+        key = id(m)
+        if key in self._mat_cache:
+            return self._mat_cache[key]
+        row = dict(
+            kind=mat_tables.MAT_LAMBERT, tex_albedo=-1, fuzz=0.0, ref_idx=1.5,
+            absorption=np.zeros(3), has_absorption=False,
+            tex_rough=-1, tex_metal=-1, tex_normal=-1, tex_sss=-1,
+            sss_radius=0.0,
+            spec_albedo_id=-1, spec_albedo_gauss=np.zeros(3),
+            spec_ref_idx_id=-1, spec_absorb_id=-1,
+        )
+        if isinstance(m, st.Lambertian):
+            row["kind"] = mat_tables.MAT_LAMBERT
+            if m.albedo is not None:
+                row["tex_albedo"] = self._add_texture(m.albedo)
+            sid, gauss = self.add_spectral_texture(m.spectral_albedo)
+            row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+        elif isinstance(m, st.Metal):
+            row["kind"] = mat_tables.MAT_METAL
+            row["tex_albedo"] = self.add_constant_color(m.albedo)
+            row["fuzz"] = float(m.fuzz)
+        elif isinstance(m, st.Dielectric):
+            row["kind"] = mat_tables.MAT_DIELECTRIC
+            row["ref_idx"] = float(m.ref_idx)
+            if m.absorption is not None:
+                row["absorption"] = np.array(m.absorption, np.float64)
+                row["has_absorption"] = True
+                self.has_absorbing_dielectric = True
+            sid, _ = self.add_spectral_texture(m.spectral_ref_idx)
+            row["spec_ref_idx_id"] = sid
+            sid, _ = self.add_spectral_texture(m.spectral_absorption)
+            row["spec_absorb_id"] = sid
+            if sid >= 0:
+                self.has_absorbing_dielectric = True
+        elif isinstance(m, st.DiffuseLight):
+            row["kind"] = mat_tables.MAT_DIFFUSE_LIGHT
+            if m.emit is not None:
+                row["tex_albedo"] = self._add_texture(m.emit)
+            sid, gauss = self.add_spectral_texture(m.spectral_emit)
+            row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+        elif isinstance(m, st.Isotropic):
+            row["kind"] = mat_tables.MAT_ISOTROPIC
+            if m.albedo is not None:
+                row["tex_albedo"] = self._add_texture(m.albedo)
+        elif isinstance(m, st.PBR):
+            row["kind"] = mat_tables.MAT_PBR
+            for slot, tex in (("tex_albedo", m.albedo), ("tex_rough", m.roughness),
+                              ("tex_metal", m.metalness), ("tex_normal", m.normal_map),
+                              ("tex_sss", m.sss)):
+                if tex is not None:
+                    row[slot] = self._add_texture(tex)
+            row["sss_radius"] = float(m.sss_radius)
+        else:
+            raise TypeError(f"unknown material {m!r}")
+        mid = len(self.mat_rows)
+        self.mat_rows.append(row)
+        self._mat_cache[key] = mid
+        return mid
+
+    # ---------------- primitives ----------------
+
+    def _push_prim(self, kind, g0, g1, g2, g3, mat_id, flip,
+                   uv=None, vn=None, has_vn=False, tb=None):
+        self.p_kind.append(kind)
+        self.p_g0.append(np.asarray(g0, np.float64))
+        self.p_g1.append(np.asarray(g1, np.float64))
+        self.p_g2.append(np.asarray(g2, np.float64))
+        self.p_g3.append(np.asarray(g3, np.float64))
+        self.p_mat.append(mat_id)
+        self.p_flip.append(bool(flip))
+        self.p_uv.append(np.zeros(6) if uv is None else np.asarray(uv, np.float64))
+        self.p_vn.append(np.zeros(9) if vn is None else np.asarray(vn, np.float64))
+        self.p_has_vn.append(bool(has_vn))
+        self.p_tb.append(np.zeros(6) if tb is None else np.asarray(tb, np.float64))
+
+    def add_rect(self, p0, e1, e2, normal, mat_id, xf: _Transform):
+        p0w = xf.point(p0)
+        e1w = xf.vector(e1)
+        e2w = xf.vector(e2)
+        nw = xf.vector(normal)
+        self._push_prim(prim.KIND_RECT, p0w, e1w, e2w, nw, mat_id, xf.flip)
+        return p0w, e1w, e2w, nw
+
+    def add_triangle_raw(self, v0, v1, v2, uv, vn, has_vn, mat_id, xf: _Transform):
+        v0w, v1w, v2w = xf.point(v0), xf.point(v1), xf.point(v2)
+        e1 = v1w - v0w
+        e2 = v2w - v0w
+        n = np.cross(e1, e2)
+        n_len = np.linalg.norm(n)
+        n = n / n_len if n_len > 0 else np.array([0.0, 0.0, 1.0])
+        if has_vn:
+            vn = np.concatenate([xf.vector(vn[0:3]), xf.vector(vn[3:6]), xf.vector(vn[6:9])])
+        # Tangent/bitangent from UV deltas (triangle.go:75-98).
+        du1, dv1 = uv[2] - uv[0], uv[3] - uv[1]
+        du2, dv2 = uv[4] - uv[0], uv[5] - uv[1]
+        denom = du1 * dv2 - du2 * dv1
+        if denom != 0.0:
+            f = 1.0 / denom
+            tangent = f * (dv2 * e1 - dv1 * e2)
+            bitangent = f * (-du2 * e1 + du1 * e2)
+            tl = np.linalg.norm(tangent)
+            bl = np.linalg.norm(bitangent)
+            tangent = tangent / tl if tl > 0 else tangent
+            bitangent = bitangent / bl if bl > 0 else bitangent
+            tb = np.concatenate([tangent, bitangent])
+        else:
+            tb = np.zeros(6)
+        self._push_prim(prim.KIND_TRIANGLE, v0w, e1, e2, n, mat_id, xf.flip,
+                        uv=uv, vn=vn, has_vn=has_vn, tb=tb)
+        return v0w, v1w, v2w, n
+
+    def add_sphere(self, c0, c1, t0, t1, radius, mat_id, xf: _Transform):
+        c0w = xf.point(c0)
+        c1w = xf.point(c1)
+        self._push_prim(prim.KIND_SPHERE, c0w, c1w,
+                        np.array([radius, t0, t1]), np.zeros(3), mat_id, xf.flip)
+        return c0w, c1w
+
+    # ---------------- lights ----------------
+
+    def add_light_rect(self, p0, e1, e2, normal, area):
+        self.l_kind.append(lights_mod.LIGHT_RECT)
+        self.l_0.append(np.asarray(p0, np.float64))
+        self.l_1.append(np.asarray(e1, np.float64))
+        self.l_2.append(np.asarray(e2, np.float64))
+        self.l_n.append(np.asarray(normal, np.float64))
+        self.l_area.append(float(area))
+        self.l_radius.append(0.0)
+
+    def add_light_triangle(self, v0, v1, v2, normal, area):
+        self.l_kind.append(lights_mod.LIGHT_TRIANGLE)
+        self.l_0.append(np.asarray(v0, np.float64))
+        self.l_1.append(np.asarray(v1, np.float64))
+        self.l_2.append(np.asarray(v2, np.float64))
+        self.l_n.append(np.asarray(normal, np.float64))
+        self.l_area.append(float(area))
+        self.l_radius.append(0.0)
+
+    def add_light_sphere(self, center0, radius):
+        self.l_kind.append(lights_mod.LIGHT_SPHERE)
+        self.l_0.append(np.asarray(center0, np.float64))
+        self.l_1.append(np.zeros(3))
+        self.l_2.append(np.zeros(3))
+        self.l_n.append(np.zeros(3))
+        self.l_area.append(0.0)
+        self.l_radius.append(float(radius))
+
+    def add_light_null(self):
+        self.l_kind.append(lights_mod.LIGHT_NULL)
+        self.l_0.append(np.zeros(3))
+        self.l_1.append(np.zeros(3))
+        self.l_2.append(np.zeros(3))
+        self.l_n.append(np.zeros(3))
+        self.l_area.append(0.0)
+        self.l_radius.append(0.0)
+
+
+# Rect construction tables, matching xyrect.go / xzrect.go / yzrect.go UV
+# parameterizations and normals.
+
+def _rect_geometry(h: st.Hitable):
+    if isinstance(h, st.XYRect):
+        p0 = (h.x0, h.y0, h.k)
+        e1 = (h.x1 - h.x0, 0.0, 0.0)
+        e2 = (0.0, h.y1 - h.y0, 0.0)
+        n = (0.0, 0.0, 1.0)
+    elif isinstance(h, st.XZRect):
+        p0 = (h.x0, h.k, h.z0)
+        e1 = (h.x1 - h.x0, 0.0, 0.0)
+        e2 = (0.0, 0.0, h.z1 - h.z0)
+        n = (0.0, 1.0, 0.0)
+    elif isinstance(h, st.YZRect):
+        p0 = (h.k, h.y0, h.z0)
+        e1 = (0.0, h.y1 - h.y0, 0.0)
+        e2 = (0.0, 0.0, h.z1 - h.z0)
+        n = (1.0, 0.0, 0.0)
+    else:
+        raise TypeError(h)
+    area = np.linalg.norm(np.cross(e1, e2))
+    return np.array(p0), np.array(e1), np.array(e2), np.array(n), float(area)
+
+
+def _box_sides(b: st.Box):
+    """Box = 6 rects, back faces flipped (box.go:27-34)."""
+    p0, p1 = b.p0, b.p1
+    return [
+        (st.XYRect(p0[0], p1[0], p0[1], p1[1], p1[2], b.material), False),
+        (st.XYRect(p0[0], p1[0], p0[1], p1[1], p0[2], b.material), True),
+        (st.XZRect(p0[0], p1[0], p0[2], p1[2], p1[1], b.material), False),
+        (st.XZRect(p0[0], p1[0], p0[2], p1[2], p0[1], b.material), True),
+        (st.YZRect(p0[1], p1[1], p0[2], p1[2], p1[0], b.material), False),
+        (st.YZRect(p0[1], p1[1], p0[2], p1[2], p0[0], b.material), True),
+    ]
+
+
+def _compile_hitable(b: _Builder, h: st.Hitable, xf: _Transform):
+    if isinstance(h, st.FlipNormals):
+        _compile_hitable(b, h.inner, xf.then_flip())
+    elif isinstance(h, st.Translate):
+        _compile_hitable(b, h.inner, xf.then_translate(h.offset))
+    elif isinstance(h, st.RotateY):
+        _compile_hitable(b, h.inner, xf.then_rotate_y(h.angle_degrees))
+    elif isinstance(h, (st.XYRect, st.XZRect, st.YZRect)):
+        mat_id = b.add_material(h.material)
+        p0, e1, e2, n, _ = _rect_geometry(h)
+        b.add_rect(p0, e1, e2, n, mat_id, xf)
+    elif isinstance(h, st.Box):
+        mat_id = b.add_material(h.material)
+        for rect, flipped in _box_sides(h):
+            p0, e1, e2, n, _ = _rect_geometry(rect)
+            b.add_rect(p0, e1, e2, n, mat_id, xf.then_flip() if flipped else xf)
+    elif isinstance(h, st.Sphere):
+        mat_id = b.add_material(h.material)
+        b.add_sphere(h.center0, h.center1, h.time0, h.time1, h.radius, mat_id, xf)
+    elif isinstance(h, st.Triangle):
+        mat_id = b.add_material(h.material)
+        uv = np.array([*h.uv0, *h.uv1, *h.uv2], np.float64)
+        has_vn = h.vn0 is not None
+        vn = (np.array([*h.vn0, *h.vn1, *h.vn2], np.float64)
+              if has_vn else np.zeros(9))
+        b.add_triangle_raw(h.v0, h.v1, h.v2, uv, vn, has_vn, mat_id, xf)
+    elif isinstance(h, st.TriangleMesh):
+        mat_id = b.add_material(h.material)
+        T = h.vertices.shape[0]
+        for i in range(T):
+            v = h.vertices[i]
+            uv = (h.uvs[i].reshape(6) if h.uvs is not None else np.zeros(6))
+            has_vn = h.normals is not None
+            vn = (h.normals[i].reshape(9) if has_vn else np.zeros(9))
+            b.add_triangle_raw(v[0], v[1], v[2], uv, vn, has_vn, mat_id, xf)
+    elif isinstance(h, st.ConstantMedium):
+        raise NotImplementedError("ConstantMedium lands with the media round")
+    else:
+        raise TypeError(f"unknown hitable {h!r}")
+
+
+def _compile_light(b: _Builder, h: st.Hitable):
+    """Light members at the reference's granularity. Translate/RotateY are
+    deliberately ignored (the reference delegates PDFValue/Random to the
+    untransformed inner hitable, translate.go:58-64 / rotate_y.go:150-156)."""
+    if isinstance(h, (st.FlipNormals, st.Translate, st.RotateY)):
+        _compile_light(b, h.inner)
+    elif isinstance(h, (st.XYRect, st.XZRect, st.YZRect)):
+        p0, e1, e2, n, area = _rect_geometry(h)
+        b.add_light_rect(p0, e1, e2, n, area)
+    elif isinstance(h, st.Triangle):
+        v0 = np.array(h.v0, np.float64)
+        v1 = np.array(h.v1, np.float64)
+        v2 = np.array(h.v2, np.float64)
+        cr = np.cross(v1 - v0, v2 - v0)
+        area = np.linalg.norm(cr) / 2.0
+        n = cr / np.linalg.norm(cr)
+        b.add_light_triangle(v0, v1, v2, n, area)
+    elif isinstance(h, st.TriangleMesh):
+        for i in range(h.vertices.shape[0]):
+            v = h.vertices[i]
+            cr = np.cross(v[1] - v[0], v[2] - v[0])
+            area = np.linalg.norm(cr) / 2.0
+            n = cr / np.linalg.norm(cr)
+            b.add_light_triangle(v[0], v[1], v[2], n, area)
+    elif isinstance(h, st.Sphere):
+        b.add_light_sphere(h.center0, h.radius)
+    else:
+        # Box and anything else: PDF 0 / Random (1,0,0) (box.go:57-63).
+        b.add_light_null()
+
+
+def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
+    b = _Builder()
+    for h in scene.world:
+        _compile_hitable(b, h, _Transform.identity())
+    for h in scene.emitters():
+        _compile_light(b, h)
+    if not b.l_kind:
+        # Keep shapes non-empty; a null member yields pdf 0 everywhere.
+        b.add_light_null()
+
+    n_p = len(b.p_kind)
+    if n_p == 0:
+        raise ValueError("scene has no primitives")
+
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float64), jnp.float32)
+    i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
+
+    prims = prim.Prims(
+        kind=i32(b.p_kind),
+        g0=f32(np.stack(b.p_g0)), g1=f32(np.stack(b.p_g1)),
+        g2=f32(np.stack(b.p_g2)), g3=f32(np.stack(b.p_g3)),
+        mat_id=i32(b.p_mat),
+        flip=jnp.asarray(b.p_flip),
+        uv=f32(np.stack(b.p_uv)),
+        vn=f32(np.stack(b.p_vn)),
+        has_vn=jnp.asarray(b.p_has_vn),
+        tb=f32(np.stack(b.p_tb)),
+    )
+
+    if not b.tex_kind:
+        b.add_constant_color((0.0, 0.0, 0.0))
+    if b.images:
+        max_h = max(im.shape[0] for im in b.images)
+        max_w = max(im.shape[1] for im in b.images)
+        stack = np.zeros((len(b.images), max_h, max_w, 3), np.float32)
+        ws, hs = [], []
+        for i, im in enumerate(b.images):
+            stack[i, : im.shape[0], : im.shape[1]] = im
+            hs.append(im.shape[0])
+            ws.append(im.shape[1])
+    else:
+        stack = np.zeros((1, 1, 1, 3), np.float32)
+        ws, hs = [1], [1]
+
+    textures = tex_tables.Textures(
+        kind=i32(b.tex_kind),
+        c0=f32(np.stack(b.tex_c0)), c1=f32(np.stack(b.tex_c1)),
+        scale=f32(b.tex_scale), img_id=i32(b.tex_img_id),
+        images=jnp.asarray(stack), img_w=i32(ws), img_h=i32(hs),
+        perlin=perlin_mod.build_tables(seed=0),
+    )
+
+    col = lambda name: [r[name] for r in b.mat_rows]
+    materials = mat_tables.Materials(
+        kind=i32(col("kind")), tex_albedo=i32(col("tex_albedo")),
+        fuzz=f32(col("fuzz")), ref_idx=f32(col("ref_idx")),
+        absorption=f32(np.stack(col("absorption"))),
+        has_absorption=jnp.asarray(col("has_absorption")),
+        tex_rough=i32(col("tex_rough")), tex_metal=i32(col("tex_metal")),
+        tex_normal=i32(col("tex_normal")), tex_sss=i32(col("tex_sss")),
+        sss_radius=f32(col("sss_radius")),
+        spec_albedo_id=i32(col("spec_albedo_id")),
+        spec_albedo_gauss=f32(np.stack(col("spec_albedo_gauss"))),
+        spec_ref_idx_id=i32(col("spec_ref_idx_id")),
+        spec_absorb_id=i32(col("spec_absorb_id")),
+    )
+
+    lights = lights_mod.Lights(
+        kind=i32(b.l_kind),
+        l0=f32(np.stack(b.l_0)), l1=f32(np.stack(b.l_1)),
+        l2=f32(np.stack(b.l_2)), normal=f32(np.stack(b.l_n)),
+        area=f32(b.l_area), radius=f32(b.l_radius),
+    )
+
+    spectral_bg_id = None
+    if scene.spectral_background is not None:
+        spectral_bg_id = b.add_spd(scene.spectral_background)
+
+    cs = CompiledScene(
+        prims=prims, materials=materials, textures=textures, lights=lights,
+        camera=camera_mod.compile_camera(scene.camera),
+        spd_table=jnp.asarray(np.stack(b.spds)),
+    )
+    meta = SceneMeta(
+        n_prims=n_p, n_materials=len(b.mat_rows), n_lights=len(b.l_kind),
+        has_absorbing_dielectric=b.has_absorbing_dielectric,
+        spectral=scene.spectral,
+        exposure=scene.camera.exposure,
+        spectral_background_spd=spectral_bg_id,
+    )
+    return cs, meta
