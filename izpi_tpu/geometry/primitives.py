@@ -245,7 +245,11 @@ def intersect_brute(prims: Prims, o, d, time, t_min, t_max, chunk: int = 512):
         best_idx = jnp.where(better, idx_c, best_idx)
         return best_t, best_idx
 
-    init = (jnp.full((n,), T_MAX, dtype=o.dtype), jnp.full((n,), -1, jnp.int32))
+    # Derive carry inits from the (possibly device-varying) ray arrays so the
+    # loop carry keeps shard_map's varying-manual-axes type (plain constants
+    # would be "unvarying" and fail the carry type check under shard_map).
+    zero = o[:, 0] * 0.0
+    init = (zero + T_MAX, zero.astype(jnp.int32) - 1)
     best_t, best_idx = jax.lax.fori_loop(0, n_chunks, body, init)
     hit = best_idx >= 0
     return finalize_hit(prims, o, d, time, best_t, best_idx.astype(jnp.int32), hit)

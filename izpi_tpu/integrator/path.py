@@ -103,12 +103,20 @@ def trace(
     settings: RenderSettings,
     intersect: IntersectFn,
     o, d, time, keys,
+    differentiable: bool = False,
 ):
     """Trace a ray batch to completion.
 
     o, d: (N,3); time: (N,); keys: (N,2) per-path RNG keys.
     Returns (color (N,3) — NOT DeNAN'd, caller applies it per the reference's
     render/rgb.go:36 — and rays_traced: () int32 total Sample-call count).
+
+    differentiable=True swaps the early-exit `while_loop` for a fixed-depth
+    `lax.scan` with per-bounce rematerialization, making the radiance
+    estimate reverse-mode differentiable w.r.t. material/texture/light
+    parameters. Sampling decisions (directions, mixture pdf) are detached
+    (stop_gradient) — the standard detached-sampling estimator: throughput
+    factors carry the gradient, discrete choices and pdfs do not.
     """
     n = o.shape[0]
     bg = jnp.asarray(settings.background, jnp.float32)
@@ -179,8 +187,12 @@ def trace(
             rec.normal, us[:, 9], us[:, 10], settings.exact_book_cosine
         )
         d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
+        if differentiable:
+            d_diff = jax.lax.stop_gradient(d_diff)
         pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
             0.5 * sampling.cosine_pdf_value(rec.normal, d_diff)
+        if differentiable:
+            pdf_val = jax.lax.stop_gradient(pdf_val)
 
         albedo = tex_tables.eval_rgb(
             cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p
@@ -189,7 +201,16 @@ def trace(
         spdf_lambert = jnp.maximum(cos_out, 0.0) / jnp.pi
         # Isotropic: ScatteringPDF()==0 (isotropic.go:54) — contributes 0.
         spdf = jnp.where(kind == mt.MAT_LAMBERT, spdf_lambert, 0.0)
-        diff_mult = albedo * (spdf / pdf_val)[:, None]
+        ratio = spdf / pdf_val
+        if differentiable:
+            # Forward mode keeps the reference's NaN/Inf-on-zero-pdf chain
+            # (DeNAN'd at the sample level); in the differentiable estimator
+            # a single Inf would poison every parameter gradient through the
+            # multiply chain, so dead samples are zeroed instead.
+            ratio = jnp.where(
+                (pdf_val > 0.0) & jnp.isfinite(ratio), ratio, 0.0
+            )
+        diff_mult = albedo * ratio[:, None]
 
         # ---- combine ----
         d_new = jnp.where(
@@ -208,16 +229,32 @@ def trace(
 
         return (depth + 1, o_new, d_out, time, thru, rad, active, nrays)
 
+    # Carry inits derived from ray inputs → correct varying-manual-axes type
+    # under shard_map (see primitives.intersect_brute).
+    zero3 = o * 0.0
+    zero1 = time * 0.0
     state0 = (
         jnp.int32(0), o, d, time,
-        jnp.ones((n, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.ones((n,), dtype=bool),
-        jnp.int32(0),
+        zero3 + 1.0,                       # throughput
+        zero3,                             # radiance
+        ~zero1.astype(bool),               # active = all True
+        jnp.sum(zero1).astype(jnp.int32),  # ray counter
     )
-    depth, o, d, time, thru, rad, active, nrays = jax.lax.while_loop(
-        cond, body, state0
-    )
+    if differentiable:
+        # Fixed trip count (masking already handles dead rays); remat each
+        # bounce so backward memory is O(1) in depth instead of O(depth).
+        def scan_body(state, _):
+            return body(state), None
+
+        final, _ = jax.lax.scan(
+            jax.checkpoint(scan_body), state0, None,
+            length=settings.max_depth,
+        )
+        depth, o, d, time, thru, rad, active, nrays = final
+    else:
+        depth, o, d, time, thru, rad, active, nrays = jax.lax.while_loop(
+            cond, body, state0
+        )
     # Depth cap: the next Sample call would return {Z:1} (colour.go:34-36).
     sentinel = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     rad = rad + jnp.where(active[:, None], thru * sentinel[None, :], 0.0)

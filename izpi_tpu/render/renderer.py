@@ -46,7 +46,8 @@ class RenderResult:
 
 def sample_pass(cs: CompiledScene, meta: SceneMeta,
                 settings: path_mod.RenderSettings, intersect,
-                nx: int, ny: int, xs, ys, base_key, sample_id):
+                nx: int, ny: int, xs, ys, base_key, sample_id,
+                differentiable: bool = False):
     """One sample for a batch of pixels. xs, ys: (N,) int32 pixel coords.
     Returns (color (N,3) DeNAN'd, rays ())."""
     pixel_ids = ys * nx + xs
@@ -55,13 +56,35 @@ def sample_pass(cs: CompiledScene, meta: SceneMeta,
     s = (xs.astype(jnp.float32) + cam_u[:, 0]) / nx
     t = (ys.astype(jnp.float32) + cam_u[:, 1]) / ny
     o, d, tme = camera_mod.get_rays(cs.camera, s, t, cam_u[:, 2:5])
-    color, nrays = path_mod.trace(cs, meta, settings, intersect, o, d, tme, keys)
+    color, nrays = path_mod.trace(cs, meta, settings, intersect, o, d, tme,
+                                  keys, differentiable=differentiable)
     return vm.de_nan(color), nrays
+
+
+# Below this primitive count brute force wins on TPU: a dense N×P pass is
+# pure VPU work with zero divergence, while BVH traversal pays gathers and
+# lockstep idling. Above it the BVH's O(log P) wins.
+BVH_THRESHOLD = 512
+
+
+def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
+    """Compile a scene and pick/build its intersector.
+    Returns (cs, meta, intersect)."""
+    cs, meta = compile_scene(scene)
+    if use_bvh is None:
+        use_bvh = meta.n_prims > BVH_THRESHOLD
+    if use_bvh:
+        from izpi_tpu.accel import traverse
+
+        cs, intersect = traverse.attach(cs, seed=seed)
+    else:
+        intersect = path_mod.make_brute_intersector(cs)
+    return cs, meta, intersect
 
 
 def render(scene: st.Scene, nx: int, ny: int, spp: int,
            settings: Optional[path_mod.RenderSettings] = None,
-           seed: int = 0, intersect_factory=None,
+           seed: int = 0, use_bvh: Optional[bool] = None,
            row_chunk: Optional[int] = None,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
@@ -70,36 +93,41 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
     under ~1M rays per pass).
     """
     settings = settings or path_mod.RenderSettings()
-    cs, meta = compile_scene(scene)
-    if intersect_factory is None:
-        intersect_factory = path_mod.make_brute_intersector
-    intersect = intersect_factory(cs)
+    cs, meta, intersect = prepare(scene, use_bvh=use_bvh)
 
     if row_chunk is None:
         row_chunk = max(1, min(ny, (1 << 20) // nx))
 
     base_key = rng.render_key(seed)
 
-    @partial(jax.jit, static_argnames=("n_rows",), donate_argnums=(3,))
-    def pass_fn(y0, sample_id, key, acc, n_rows):
+    # The whole spp loop runs on-device (one dispatch per row chunk): a
+    # fori_loop over samples accumulating into the canvas block. This is the
+    # TPU answer to the reference's per-pixel `for s in spp` (rgb.go:32-38).
+    @partial(jax.jit, static_argnames=("n_rows", "n_spp"))
+    def chunk_fn(y0, key, n_rows, n_spp):
         ys = y0 + jnp.repeat(jnp.arange(n_rows, dtype=jnp.int32), nx)
         xs = jnp.tile(jnp.arange(nx, dtype=jnp.int32), n_rows)
-        color, nrays = sample_pass(
-            cs, meta, settings, intersect, nx, ny, xs, ys, key, sample_id
-        )
-        return acc + color, nrays
+
+        def body(s, carry):
+            acc, rays = carry
+            color, nrays = sample_pass(
+                cs, meta, settings, intersect, nx, ny, xs, ys, key, s
+            )
+            return acc + color, rays + nrays
+
+        acc0 = jnp.zeros((n_rows * nx, 3), jnp.float32)
+        acc, rays = jax.lax.fori_loop(0, n_spp, body, (acc0, jnp.int32(0)))
+        return acc / n_spp, rays
 
     t0 = time_mod.perf_counter()
     image = np.zeros((ny, nx, 3), np.float32)
     total_rays = 0
     for y0 in range(0, ny, row_chunk):
         n_rows = min(row_chunk, ny - y0)
-        acc = jnp.zeros((n_rows * nx, 3), jnp.float32)
-        for s in range(spp):
-            acc, nrays = pass_fn(jnp.int32(y0), jnp.int32(s), base_key, acc,
-                                 n_rows=n_rows)
-            total_rays += int(nrays)
-        block = np.asarray(acc / spp).reshape(n_rows, nx, 3)
+        acc, nrays = chunk_fn(jnp.int32(y0), base_key, n_rows=n_rows,
+                              n_spp=spp)
+        total_rays += int(nrays)
+        block = np.asarray(acc).reshape(n_rows, nx, 3)
         # v-up → row flip (rgb.go:40: canvas.Set(x, ny-y)).
         image[ny - y0 - n_rows: ny - y0] = block[::-1]
         if verbose:

@@ -1,0 +1,113 @@
+"""BVH4 differential tests — traversal vs the brute-force oracle, mirroring
+the reference's BVH4-vs-BVH2 strategy (hitable/bvh4_test.go:86-157, 454-517):
+same hit/miss on random rays, t within tolerance, plus structural validation
+on a large random scene."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from izpi_tpu.accel import bvh_build, traverse
+from izpi_tpu.geometry import primitives as prim
+from izpi_tpu.scene import types as st
+from izpi_tpu.scene.compiler import compile_scene
+from izpi_tpu.scene.library.cornell import cornell_box
+
+
+def _random_tri_scene(n_tris: int, seed: int, spread: float = 10.0):
+    rs = np.random.RandomState(seed)
+    base = (rs.rand(n_tris, 1, 3) - 0.5) * 2 * spread
+    verts = base + rs.randn(n_tris, 3, 3) * 0.5
+    mesh = st.TriangleMesh(
+        vertices=verts,
+        material=st.Lambertian(albedo=st.ConstantTexture((0.5, 0.5, 0.5))),
+    )
+    cam = st.Camera(look_from=(0, 0, -30), look_at=(0, 0, 0))
+    return st.Scene(world=[mesh], camera=cam)
+
+
+def _compare(cs, n_rays: int, seed: int):
+    cs2, bvh_intersect = traverse.attach(cs, seed=1)
+    rs = np.random.RandomState(seed)
+    o_np = rs.randn(n_rays, 3) * 15.0
+    target = (rs.rand(n_rays, 3) - 0.5) * 10.0  # aim into the prim cloud
+    o = jnp.asarray(o_np, jnp.float32)
+    d = jnp.asarray(target - o_np, jnp.float32)
+    t = jnp.zeros(n_rays, jnp.float32)
+
+    brute = prim.intersect_brute(cs2.prims, o, d, t, 1e-3, prim.T_MAX)
+    bvh = bvh_intersect(o, d, t, 1e-3, prim.T_MAX)
+
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(bvh.hit))
+    mask = np.asarray(brute.hit)
+    np.testing.assert_allclose(
+        np.asarray(brute.t)[mask], np.asarray(bvh.t)[mask], rtol=1e-5
+    )
+    # Same material surface even if tie-order differs inside a leaf.
+    np.testing.assert_array_equal(
+        np.asarray(brute.mat_id)[mask], np.asarray(bvh.mat_id)[mask]
+    )
+    return mask.mean()
+
+
+def test_bvh_matches_brute_random_triangles():
+    cs, _ = compile_scene(_random_tri_scene(300, seed=0))
+    hit_rate = _compare(cs, 512, seed=1)
+    assert hit_rate > 0.1  # the test must actually exercise hits
+
+
+def test_bvh_matches_brute_cornell():
+    cs, _ = compile_scene(cornell_box())
+    cs2, bvh_intersect = traverse.attach(cs, seed=1)
+    rs = np.random.RandomState(2)
+    n = 256
+    o = jnp.asarray(
+        rs.rand(n, 3) * [555, 555, 555] - [0, 0, 800], jnp.float32)
+    d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    t = jnp.asarray(rs.rand(n), jnp.float32)
+    brute = prim.intersect_brute(cs2.prims, o, d, t, 1e-3, prim.T_MAX)
+    bvh = bvh_intersect(o, d, t, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(bvh.hit))
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(
+        np.asarray(brute.t)[m], np.asarray(bvh.t)[m], rtol=1e-5)
+
+
+def test_bvh_structure_10k():
+    """Large-scene build integrity (bvh4_test.go:454-517)."""
+    cs, _ = compile_scene(_random_tri_scene(10_000, seed=3, spread=50.0))
+    arrays = bvh_build.build_bvh4(cs.prims, seed=1)
+    assert bvh_build.validate(arrays, cs.prims.count) == []
+    # Every leaf run ≤ 4; child indices < node count.
+    assert (arrays.count <= 4).all()
+    counts = arrays.count
+    internal = counts == 0
+    assert (arrays.child[internal] < arrays.child.shape[0]).all()
+
+
+def test_bvh_adversarial_precision():
+    """f32 conservative-bounds test (bvh4_test.go:418-451): huge and tiny
+    coordinates; BVH must never miss what brute force hits."""
+    rs = np.random.RandomState(4)
+    tris = []
+    for scale in (1e-3, 1.0, 1e4):
+        base = (rs.rand(40, 1, 3) - 0.5) * 2 * scale
+        tris.append(base + rs.randn(40, 3, 3) * 0.1 * scale)
+    verts = np.concatenate(tris)
+    mesh = st.TriangleMesh(
+        vertices=verts,
+        material=st.Lambertian(albedo=st.ConstantTexture((0.5, 0.5, 0.5))),
+    )
+    sc = st.Scene(world=[mesh],
+                  camera=st.Camera(look_from=(0, 0, -1), look_at=(0, 0, 0)))
+    cs, _ = compile_scene(sc)
+    cs2, bvh_intersect = traverse.attach(cs, seed=1)
+    n = 256
+    o = jnp.asarray(rs.randn(n, 3) * 100.0, jnp.float32)
+    d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    t = jnp.zeros(n, jnp.float32)
+    brute = prim.intersect_brute(cs2.prims, o, d, t, 1e-3, prim.T_MAX)
+    bvh = bvh_intersect(o, d, t, 1e-3, prim.T_MAX)
+    # BVH may only differ by NOT missing: anything brute hits, BVH hits.
+    bh = np.asarray(brute.hit)
+    vh = np.asarray(bvh.hit)
+    assert (vh | ~bh).all(), "BVH missed a primitive brute force hit"
