@@ -27,8 +27,9 @@ def main():
     settings = path_mod.RenderSettings(max_depth=50)
     scene = cornell_box(aspect=nx / ny)
 
-    # Warmup (compile) on a small chunk, then timed full render.
-    renderer.render(scene, nx, ny, 1, settings=settings, seed=0)
+    # Warmup with the exact timed configuration (spp is a static arg of the
+    # jitted pool — a different spp would recompile inside the timed run).
+    renderer.render(scene, nx, ny, spp, settings=settings, seed=0)
     res = renderer.render(scene, nx, ny, spp, settings=settings, seed=0)
 
     value = res.mrays_per_sec

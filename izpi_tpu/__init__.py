@@ -23,4 +23,21 @@ difference is budgeted in the parity tests).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: wavefront graphs take minutes to compile
+# through the remote-compile tunnel; cache them across processes.
+if not _os.environ.get("IZPI_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "IZPI_TPU_COMPILE_CACHE", _os.path.expanduser("~/.izpi_tpu_jax_cache")
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 from izpi_tpu.scene import types as scene_types  # noqa: F401

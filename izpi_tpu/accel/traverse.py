@@ -132,8 +132,12 @@ def intersect_bvh(prims: prim.Prims, bvh: BVH4Device, o, d, time,
 
         return stack, sp, t_best, idx_best
 
-    _stack, _sp, t_best, idx_best = jax.lax.while_loop(
-        cond, body, (stack0, sp0, t_best0, idx_best0)
+    # Chunked while (see core.loops): the body is a fixpoint once all stacks
+    # are empty, and the dynamic-predicate while costs ~60ms/step on axon.
+    from izpi_tpu.core.loops import chunked_while
+
+    _stack, _sp, t_best, idx_best = chunked_while(
+        cond, body, (stack0, sp0, t_best0, idx_best0), chunk=16
     )
     hit = idx_best >= 0
     return prim.finalize_hit(prims, o, d, time, t_best, idx_best, hit)

@@ -47,3 +47,24 @@ def bounce_uniforms(keys: jax.Array, depth, n: int, salt: int = 0) -> jax.Array:
 
 def uniforms(key: jax.Array, shape) -> jax.Array:
     return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+def path_keys_perray(base_key: jax.Array, pixel_ids: jax.Array,
+                     sample_ids: jax.Array) -> jax.Array:
+    """Per-path keys with per-ray sample indices (pool scheduling).
+    Identical stream to path_keys: fold sample, then pixel."""
+    def one(p, s):
+        return jax.random.fold_in(jax.random.fold_in(base_key, s), p)
+
+    return jax.vmap(one)(pixel_ids, sample_ids)
+
+
+def bounce_uniforms_perray(keys: jax.Array, depths: jax.Array, n: int,
+                           salt: int = 0) -> jax.Array:
+    """bounce_uniforms with a per-ray depth (pool slots hold paths of mixed
+    ages). Same stream as bounce_uniforms for equal depths."""
+    def one(k, dep):
+        kk = jax.random.fold_in(jax.random.fold_in(k, dep), salt)
+        return jax.random.uniform(kk, (n,), dtype=jnp.float32)
+
+    return jax.vmap(one)(keys, depths)

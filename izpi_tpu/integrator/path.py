@@ -141,7 +141,9 @@ def trace(
 
         # Emission: one-sided diffuse light (diffuselight.go:49-63).
         emit_rgb = tex_tables.eval_rgb(
-            cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p
+            cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p,
+            has_checker=meta.has_checker, has_image=meta.has_image,
+            has_noise=meta.has_noise,
         )
         facing = vm.dot(rec.normal, d) < 0.0
         is_light = kind == mt.MAT_DIFFUSE_LIGHT
@@ -194,9 +196,7 @@ def trace(
         if differentiable:
             pdf_val = jax.lax.stop_gradient(pdf_val)
 
-        albedo = tex_tables.eval_rgb(
-            cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p
-        )
+        albedo = emit_rgb  # same texture slot; one evaluation per bounce
         cos_out = vm.dot(rec.normal, vm.normalize(d_diff))
         spdf_lambert = jnp.maximum(cos_out, 0.0) / jnp.pi
         # Isotropic: ScatteringPDF()==0 (isotropic.go:54) — contributes 0.

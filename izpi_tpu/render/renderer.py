@@ -35,9 +35,10 @@ CAMERA_SALT = 0x5EED
 
 @dataclasses.dataclass
 class RenderResult:
-    image: np.ndarray      # (ny, nx, 3) float32, linear
+    image: np.ndarray      # (ny, nx, 3) float32, linear (ACEScg if spectral)
     rays_traced: int
     seconds: float
+    xyz: Optional[np.ndarray] = None  # raw CIE XYZ canvas (spectral renders)
 
     @property
     def mrays_per_sec(self) -> float:
@@ -86,14 +87,51 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
            settings: Optional[path_mod.RenderSettings] = None,
            seed: int = 0, use_bvh: Optional[bool] = None,
            row_chunk: Optional[int] = None,
+           mode: str = "wavefront",
+           pool_size: Optional[int] = None,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
-    row_chunk: rows per wavefront (defaults to the whole image when it fits
-    under ~1M rays per pass).
+    mode: "wavefront" (persistent path pool, fastest) or "simple" (lockstep
+    batch per sample — the straightforward analog of path.trace, kept as the
+    oracle and for row-chunked very large frames).
     """
     settings = settings or path_mod.RenderSettings()
     cs, meta, intersect = prepare(scene, use_bvh=use_bvh)
+
+    spectral = meta.spectral
+    if mode == "wavefront" or spectral:
+        from izpi_tpu.integrator import wavefront
+
+        if pool_size is None:
+            pool_size = min(nx * ny * spp, 1 << 16)
+        base_key = rng.render_key(seed)
+        bg_spd_id = meta.spectral_background_spd or 0
+
+        @partial(jax.jit, static_argnames=("n_spp", "pool"))
+        def run(key, n_spp, pool):
+            return wavefront.trace_pool(
+                cs, meta, settings, intersect, nx, ny, n_spp, key, pool,
+                spectral=spectral, bg_spd_id=bg_spd_id,
+            )
+
+        t0 = time_mod.perf_counter()
+        acc, nrays = run(base_key, spp, pool_size)
+        acc = np.asarray(acc)
+        seconds = time_mod.perf_counter() - t0
+        canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
+        if spectral:
+            # Post pipeline for spectral renders (leader.go:216-219):
+            # firefly rejection on XYZ, then XYZ→ACEScg with exposure.
+            from izpi_tpu.spectral import convert
+
+            xyz = convert.firefly_rejection(canvas.astype(np.float64))
+            image = convert.xyz_to_acescg(xyz, meta.exposure).astype(
+                np.float32)
+            return RenderResult(image=image, rays_traced=int(nrays),
+                                seconds=seconds, xyz=xyz.astype(np.float32))
+        return RenderResult(image=canvas, rays_traced=int(nrays),
+                            seconds=seconds)
 
     if row_chunk is None:
         row_chunk = max(1, min(ny, (1 << 20) // nx))

@@ -54,6 +54,10 @@ class SceneMeta:
     spectral: bool
     exposure: float
     spectral_background_spd: Optional[int]  # SPD id or None
+    # Static texture-kind facts — let XLA compile out unused evaluators.
+    has_checker: bool = True
+    has_image: bool = True
+    has_noise: bool = True
 
 
 @dataclasses.dataclass
@@ -550,11 +554,15 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         camera=camera_mod.compile_camera(scene.camera),
         spd_table=jnp.asarray(np.stack(b.spds)),
     )
+    kinds_present = set(b.tex_kind)
     meta = SceneMeta(
         n_prims=n_p, n_materials=len(b.mat_rows), n_lights=len(b.l_kind),
         has_absorbing_dielectric=b.has_absorbing_dielectric,
         spectral=scene.spectral,
         exposure=scene.camera.exposure,
         spectral_background_spd=spectral_bg_id,
+        has_checker=tex_tables.TEX_CHECKER in kinds_present,
+        has_image=tex_tables.TEX_IMAGE in kinds_present,
+        has_noise=tex_tables.TEX_NOISE in kinds_present,
     )
     return cs, meta

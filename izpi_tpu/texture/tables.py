@@ -47,37 +47,46 @@ def image_lookup(images, img_w, img_h, img_id, u, v):
     return images[img_id, j, i]
 
 
-def eval_rgb(tex: Textures, tex_id, u, v, p):
+def eval_rgb(tex: Textures, tex_id, u, v, p,
+             has_checker: bool = True, has_image: bool = True,
+             has_noise: bool = True):
     """Evaluate RGB textures for a ray batch.
 
     tex_id: (N,) int32 (>=0); u, v: (N,); p: (N,3). Returns (N,3).
-    All kinds are computed and selected — the per-kind work is a handful of
-    VPU ops plus one gather, far cheaper than divergent control flow on TPU.
+    All kinds present in the scene are computed and selected — a handful of
+    VPU ops plus one gather each, far cheaper than divergent control flow on
+    TPU. The has_* flags are STATIC scene facts (SceneMeta) that let XLA
+    drop whole evaluators: Perlin turbulence in particular costs ~56 gathers
+    per ray and must be compiled out of noise-free scenes.
     """
     tid = jnp.maximum(tex_id, 0)
     kind = tex.kind[tid]
     c0 = tex.c0[tid]
-    c1 = tex.c1[tid]
+    out = c0
 
-    # CHECKER: sign of sin(10x)sin(10y)sin(10z) picks odd/even
-    # (texture/checker.go:26).
-    sines = (
-        jnp.sin(10.0 * p[..., 0])
-        * jnp.sin(10.0 * p[..., 1])
-        * jnp.sin(10.0 * p[..., 2])
-    )
-    checker = jnp.where((sines < 0.0)[..., None], c0, c1)
+    if has_checker:
+        # CHECKER: sign of sin(10x)sin(10y)sin(10z) picks odd/even
+        # (texture/checker.go:26).
+        c1 = tex.c1[tid]
+        sines = (
+            jnp.sin(10.0 * p[..., 0])
+            * jnp.sin(10.0 * p[..., 1])
+            * jnp.sin(10.0 * p[..., 2])
+        )
+        checker = jnp.where((sines < 0.0)[..., None], c0, c1)
+        out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
 
-    # IMAGE
-    img = image_lookup(tex.images, tex.img_w, tex.img_h,
-                       jnp.maximum(tex.img_id[tid], 0), u, v)
+    if has_image:
+        img = image_lookup(tex.images, tex.img_w, tex.img_h,
+                           jnp.maximum(tex.img_id[tid], 0), u, v)
+        out = jnp.where((kind == TEX_IMAGE)[..., None], img, out)
 
-    # NOISE marble: 0.5·(1+sin(scale·z + 10·turb(p))) (texture/noise.go:27).
-    t = perlin_mod.turb(tex.perlin, p, 7)
-    marble = 0.5 * (1.0 + jnp.sin(tex.scale[tid] * p[..., 2] + 10.0 * t))
-    noise = jnp.ones_like(c0) * marble[..., None]
+    if has_noise:
+        # NOISE marble: 0.5·(1+sin(scale·z + 10·turb(p)))
+        # (texture/noise.go:27).
+        t = perlin_mod.turb(tex.perlin, p, 7)
+        marble = 0.5 * (1.0 + jnp.sin(tex.scale[tid] * p[..., 2] + 10.0 * t))
+        out = jnp.where((kind == TEX_NOISE)[..., None],
+                        jnp.ones_like(c0) * marble[..., None], out)
 
-    out = jnp.where((kind == TEX_CHECKER)[..., None], checker, c0)
-    out = jnp.where((kind == TEX_IMAGE)[..., None], img, out)
-    out = jnp.where((kind == TEX_NOISE)[..., None], noise, out)
     return out
