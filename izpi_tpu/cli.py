@@ -1,0 +1,109 @@
+"""Command-line interface.
+
+Mirrors the reference's flag surface (cmd/izpi/main.go:31-66, kong tags):
+scene, x/y, samples, sampler, max-depth, output-mode, output-file, verbose,
+role, cpu-profile/instrument (mapped to the JAX profiler). The scene argument
+accepts a built-in scene name (izpi_tpu.scene.library) or a .pbtxt scene
+file (izpi_tpu.scene.pbtxt).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="izpi-tpu",
+        description="TPU-native differentiable spectral path tracer",
+    )
+    p.add_argument("--scene", default="cornell_box_pyramid_spectral",
+                   help="built-in scene name or .pbtxt scene file")
+    p.add_argument("-x", type=int, default=500, help="output width")
+    p.add_argument("-y", type=int, default=500, help="output height")
+    p.add_argument("--samples", type=int, default=1000,
+                   help="samples per pixel")
+    p.add_argument("--sampler", default="spectral",
+                   choices=["spectral", "colour", "albedo", "normal",
+                            "wireframe"])
+    p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--output-mode", default="png",
+                   choices=["png", "exr", "hdr", "pfm"])
+    p.add_argument("--output-file", default="output.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--background", default="0,0,0",
+                   help="background colour r,g,b")
+    p.add_argument("--ink", default="0,0,0", help="wireframe ink colour")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--role", default="standalone",
+                   choices=["standalone", "leader", "worker"])
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="devices to use (0 = all)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a JAX profiler trace (the analog of "
+                        "--cpu-profile/--instrument)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for resumable renders")
+    p.add_argument("--checkpoint-interval", type=int, default=0,
+                   help="samples between checkpoint writes (0 = off)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from izpi_tpu.integrator import path as path_mod
+    from izpi_tpu.io import output as output_mod
+    from izpi_tpu.render import renderer
+    from izpi_tpu.scene.library import REGISTRY, get_scene
+
+    aspect = args.x / args.y
+    if args.scene.endswith((".pbtxt", ".izpi")):
+        from izpi_tpu.scene import pbtxt
+
+        scene = pbtxt.load_scene(args.scene, aspect=aspect)
+    else:
+        scene = get_scene(args.scene, aspect=aspect)
+
+    bg = tuple(float(v) for v in args.background.split(","))
+    ink = tuple(float(v) for v in args.ink.split(","))
+    settings = path_mod.RenderSettings(max_depth=args.max_depth,
+                                       background=bg)
+
+    if args.role in ("leader", "worker"):
+        print("distributed roles map to jax.distributed multi-host launches;"
+              " run one process per host — see izpi_tpu/parallel/dist.py",
+              file=sys.stderr)
+
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+
+        os.makedirs(args.profile_dir, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
+    t0 = time.time()
+    res = renderer.render(
+        scene, args.x, args.y, args.samples, settings=settings,
+        seed=args.seed, sampler_type=args.sampler, ink=ink,
+        verbose=args.verbose,
+    )
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
+    aces = scene.spectral and args.output_mode == "exr"
+    output_mod.write(args.output_file, res.image, mode=args.output_mode,
+                     aces=aces)
+    # End-of-render summary (renderer.go:213).
+    print(f"Rendering completed in {time.time() - t0:.1f}s using "
+          f"{res.rays_traced} rays ({res.mrays_per_sec:.2f} Mrays/s); "
+          f"wrote {args.output_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,10 +1,10 @@
-"""Wavefront path tracer — the RGB "colour" integrator.
+"""Path-tracing estimator core + the lockstep reference integrator.
 
-This is the reference's recursive NEE estimator (internal/sampler/colour.go:33-65)
-inverted into a masked lockstep `lax.while_loop` over bounce depth: a ray
-batch carries (origin, direction, time, throughput, radiance, active), and
-each iteration performs one fused pass: intersect → shade/emit → sample the
-0.5/0.5 light/material mixture PDF (pdf/mixture.go) → update throughput.
+`bounce_rgb` / `bounce_spectral` advance a ray batch one bounce — the single
+shared implementation used by the lockstep oracle (`trace`, the analog of the
+reference's recursive sampler internal/sampler/colour.go:33-65 /
+spectral.go:47-80), the persistent-pool wavefront scheduler
+(izpi_tpu.integrator.wavefront), and the differentiable fixed-depth scan.
 
 Estimator identity with the reference (colour.go:44-57):
     L = Σ_k T_k·emitted_k (+ T·background on miss, + T·(0,0,1) at depth cap)
@@ -17,15 +17,18 @@ Quirks preserved for converged-image parity:
 - depth-cap sentinel {Z:1} (colour.go:34-36),
 - book cosine sampling with its 2·sqrt(r2) factor (vec3.go:119),
 - one-sided lights keyed on the *record* normal (diffuselight.go:49-63),
-- isotropic's ScatteringPDF()==0 (isotropic.go:54) — participating-media
-  phase contributes nothing beyond emission in RGB mode, as in Go,
-- unnormalized scattered directions (colour.go:50).
+- isotropic's ScatteringPDF()==0 (isotropic.go:54),
+- unnormalized scattered directions (colour.go:50),
+- PBR's double normal mapping (triangle TBN map in triangle.go:234-248, then
+  the ad-hoc tangent frame again in pbr.go:65-91 with z left unremapped),
+  fresnel = 0.04+0.96(1-cosθ)^5 + 0.5·metalness, P(spec)=fresnel·(1-rough)
+  (pbr.go:123-137), cosine mixture PDF on the PBR-mapped normal but
+  ScatteringPDF on the record normal (pbr.go:150,249).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import TYPE_CHECKING, Callable, Tuple
 
 import jax
@@ -35,6 +38,7 @@ from izpi_tpu.core import rng, sampling
 from izpi_tpu.core import vecmath as vm
 from izpi_tpu.geometry import primitives as prim
 from izpi_tpu.integrator import lights as lights_mod
+from izpi_tpu.materials import spectral_eval
 from izpi_tpu.materials import tables as mt
 from izpi_tpu.texture import tables as tex_tables
 
@@ -74,7 +78,23 @@ def _gather_mat(cs, mat_id):
         "ref_idx": m.ref_idx[safe],
         "absorption": m.absorption[safe],
         "has_absorption": m.has_absorption[safe],
+        "tex_rough": m.tex_rough[safe],
+        "tex_metal": m.tex_metal[safe],
+        "tex_normal": m.tex_normal[safe],
     }
+
+
+def _gather_mat_spectral(cs, mat_id):
+    safe = jnp.maximum(mat_id, 0)
+    m = cs.materials
+    out = _gather_mat(cs, mat_id)
+    out.update({
+        "spec_albedo_id": m.spec_albedo_id[safe],
+        "spec_albedo_gauss": m.spec_albedo_gauss[safe],
+        "spec_ref_idx_id": m.spec_ref_idx_id[safe],
+        "spec_absorb_id": m.spec_absorb_id[safe],
+    })
+    return out
 
 
 def _dielectric_scatter(o_dir, normal, ref_idx, u_reflect):
@@ -97,6 +117,396 @@ def _dielectric_scatter(o_dir, normal, ref_idx, u_reflect):
     return new_dir, is_reflected
 
 
+def _apply_media(cs, meta, rec: prim.Hit, o, d, time, keys, depth):
+    """Stochastic participating-media hits (constant_medium.go:36-66).
+
+    For each compiled medium: find the boundary entry/exit span along the
+    ray, draw an exponential free-flight distance -ln(U)/ρ, and if it lands
+    inside the span before the current closest surface, the medium wins the
+    closest-hit with the arbitrary record normal (1,0,0) and the Isotropic
+    phase material. One deliberate deviation from the reference: its
+    `rec2t = tMax` clamp (constant_medium.go:46-48, an inverted comparison)
+    extends every medium infinitely behind its boundary and makes results
+    depend on HitableSlice scan order; we use the clearly-intended
+    min(exit, closest) span instead.
+    """
+    n_media = meta.n_media
+    u_med = rng.bounce_uniforms_perray(keys, depth, n_media, salt=0x4D45)
+    d_len = vm.length(d)
+    cur_t = jnp.where(rec.hit, rec.t, prim.T_MAX)
+
+    t = rec.t
+    hit = rec.hit
+    mat_id = rec.mat_id
+    normal = rec.normal
+    p = rec.p
+    u = rec.u
+    v = rec.v
+    prim_idx = rec.prim_idx
+
+    for m in range(n_media):
+        rot = cs.media.rot_w2o[m]
+        trans = cs.media.trans[m]
+        o_obj = (o - trans[None, :]) @ rot.T
+        d_obj = d @ rot.T
+        if meta.media_is_sphere[m]:  # static scene fact
+            center = cs.media.p0[m][None, :]
+            radius = cs.media.p1[m][0]
+            oc = o_obj - center
+            a = vm.dot(d_obj, d_obj)
+            bq = vm.dot(oc, d_obj)
+            c = vm.dot(oc, oc) - radius * radius
+            disc = bq * bq - a * c
+            ok = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            a_safe = jnp.where(a == 0.0, 1.0, a)
+            t1 = (-bq - sq) / a_safe
+            t2 = (-bq + sq) / a_safe
+        else:
+            lo = cs.media.p0[m][None, :]
+            hi = cs.media.p1[m][None, :]
+            inv = 1.0 / d_obj
+            ta = (lo - o_obj) * inv
+            tb = (hi - o_obj) * inv
+            near = jnp.minimum(ta, tb)
+            far = jnp.maximum(ta, tb)
+            t1 = jnp.max(near, axis=-1)
+            t2 = jnp.min(far, axis=-1)
+            ok = t2 > t1
+
+        rec1t = jnp.maximum(t1, T_MIN)
+        rec2t = jnp.minimum(t2, cur_t)
+        ok = ok & (rec1t < rec2t)
+        rec1t = jnp.maximum(rec1t, 0.0)
+        dist_inside = (rec2t - rec1t) * d_len
+        hit_dist = -(1.0 / cs.media.density[m]) * jnp.log(
+            jnp.maximum(u_med[:, m], 1e-12))
+        t_med = rec1t + hit_dist / d_len
+        med_hit = ok & (hit_dist < dist_inside)
+        better = med_hit & (t_med < cur_t)
+
+        t = jnp.where(better, t_med, t)
+        cur_t = jnp.minimum(cur_t, jnp.where(better, t_med, cur_t))
+        hit = hit | better
+        mat_id = jnp.where(better, cs.media.mat_id[m], mat_id)
+        normal = jnp.where(
+            better[:, None],
+            jnp.array([1.0, 0.0, 0.0], jnp.float32)[None, :], normal)
+        p = jnp.where(better[:, None], o + t_med[:, None] * d, p)
+        u = jnp.where(better, 0.0, u)
+        v = jnp.where(better, 0.0, v)
+        prim_idx = jnp.where(better, -1, prim_idx)
+
+    return prim.Hit(t=t, u=u, v=v, p=p, normal=normal, prim_idx=prim_idx,
+                    mat_id=mat_id, hit=hit)
+
+
+def _eval_tex(cs, meta, tex_id, u, v, p):
+    return tex_tables.eval_rgb(
+        cs.textures, tex_id, u, v, p,
+        has_checker=meta.has_checker, has_image=meta.has_image,
+        has_noise=meta.has_noise,
+    )
+
+
+def _mean3(rgb):
+    return (rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) / 3.0
+
+
+def _pbr_normals(cs, meta, mat, rec, d):
+    """The two normals PBR uses (see module docstring quirk list):
+    - rec_n: the record normal after the triangle-TBN normal-map step the
+      reference applies inside triangle.Hit (triangles only),
+    - pbr_n: rec_n pushed through the ad-hoc tangent frame AGAIN
+      (pbr.go:65-91; note z is NOT remapped there).
+    Returns (rec_n, pbr_n, is_pbr)."""
+    is_pbr = mat["kind"] == mt.MAT_PBR
+    has_nm = mat["tex_normal"] >= 0
+    nm_rgb = _eval_tex(cs, meta, mat["tex_normal"], rec.u, rec.v, rec.p)
+
+    pidx = jnp.maximum(rec.prim_idx, 0)
+    prim_kind = cs.prims.kind[pidx]
+    tb = cs.prims.tb[pidx]
+    tangent = tb[:, 0:3]
+    bitangent = tb[:, 3:6]
+
+    # Triangle TBN map: all three components remapped (triangle.go:240-248).
+    t_n = 2.0 * nm_rgb - 1.0
+    mapped = vm.safe_normalize(
+        tangent * t_n[:, 0:1] + bitangent * t_n[:, 1:2]
+        + rec.normal * t_n[:, 2:3]
+    )
+    use_tbn = is_pbr & has_nm & (prim_kind == prim.KIND_TRIANGLE)
+    rec_n = jnp.where(use_tbn[:, None], mapped, rec.normal)
+
+    # Ad-hoc frame (pbr.go:73-91): t = n×(0,1,0) (or n×(1,0,0) when
+    # degenerate), b = n×t; z component NOT remapped.
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    t_ad = vm.cross(rec_n, jnp.broadcast_to(up, rec_n.shape))
+    degenerate = vm.dot(t_ad, t_ad) < 0.001
+    t_ad = jnp.where(
+        degenerate[:, None],
+        vm.cross(rec_n, jnp.broadcast_to(right, rec_n.shape)), t_ad)
+    t_ad = vm.safe_normalize(t_ad)
+    b_ad = vm.safe_normalize(vm.cross(rec_n, t_ad))
+    t_n2 = jnp.stack(
+        [2.0 * nm_rgb[:, 0] - 1.0, 2.0 * nm_rgb[:, 1] - 1.0, nm_rgb[:, 2]],
+        axis=-1,
+    )
+    pbr_mapped = vm.safe_normalize(
+        t_ad * t_n2[:, 0:1] + b_ad * t_n2[:, 1:2] + rec_n * t_n2[:, 2:3]
+    )
+    pbr_n = jnp.where((is_pbr & has_nm)[:, None], pbr_mapped, rec_n)
+    return rec_n, pbr_n, is_pbr
+
+
+def _pbr_lobes(cs, meta, mat, rec, d, pbr_n, us):
+    """PBR stochastic lobe choice (pbr.go:94-145). Returns
+    (is_specular_choice, specular_dir, roughness, metalness)."""
+    rough_rgb = _eval_tex(cs, meta, mat["tex_rough"], rec.u, rec.v, rec.p)
+    metal_rgb = _eval_tex(cs, meta, mat["tex_metal"], rec.u, rec.v, rec.p)
+    rough = jnp.where(mat["tex_rough"] >= 0, _mean3(rough_rgb), 0.5)
+    metal = jnp.where(mat["tex_metal"] >= 0, _mean3(metal_rgb), 0.0)
+
+    d_unit = vm.normalize(d)
+    cos_theta = jnp.abs(vm.dot(d_unit, pbr_n))
+    fresnel = 0.04 + 0.96 * jnp.power(1.0 - cos_theta, 5.0) + metal * 0.5
+    p_spec = fresnel * (1.0 - rough)
+    choose_spec = us[:, 11] < p_spec
+
+    rf = jnp.maximum(0.01, rough * 0.3)
+    rand_dir = sampling.random_in_unit_sphere(us[:, 0], us[:, 1], us[:, 2])
+    spec_dir = vm.normalize(
+        vm.reflect(d_unit, pbr_n) + rf[:, None] * rand_dir
+    )
+    return choose_spec, spec_dir, rough, metal
+
+
+def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
+               rad, active, differentiable: bool = False):
+    """Advance every live RGB path one bounce (per-ray depth (N,)).
+    Returns (o, d, thru, rad, active, n_rays_this_iter)."""
+    n = o.shape[0]
+    bg = jnp.asarray(settings.background, jnp.float32)
+
+    rec = intersect(o, d, time, T_MIN, prim.T_MAX)
+    if meta.n_media > 0:
+        rec = _apply_media(cs, meta, rec, o, d, time, keys, depth)
+    nrays = jnp.sum(active.astype(jnp.int32))
+
+    miss = active & ~rec.hit
+    rad = rad + jnp.where(miss[:, None], thru * bg[None, :], 0.0)
+    active = active & rec.hit
+
+    mat = _gather_mat(cs, rec.mat_id)
+    kind = mat["kind"]
+
+    emit_rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
+    facing = vm.dot(rec.normal, d) < 0.0
+    is_light = kind == mt.MAT_DIFFUSE_LIGHT
+    emitted = jnp.where((is_light & facing)[:, None], emit_rgb, 0.0)
+    rad = rad + jnp.where(active[:, None], thru * emitted, 0.0)
+    active = active & ~is_light
+
+    us = rng.bounce_uniforms_perray(keys, depth, 12)
+
+    is_metal = kind == mt.MAT_METAL
+    is_diel = kind == mt.MAT_DIELECTRIC
+
+    # ---- metal (metal.go:34-40): unit-direction mirror + fuzz ----
+    refl_unit = vm.reflect(vm.normalize(d), rec.normal)
+    fuzz_vec = sampling.random_in_unit_sphere(us[:, 0], us[:, 1], us[:, 2])
+    d_metal = refl_unit + mat["fuzz"][:, None] * fuzz_vec
+
+    # ---- dielectric ----
+    d_diel, is_refl = _dielectric_scatter(d, rec.normal, mat["ref_idx"],
+                                          us[:, 3])
+    diel_att = jnp.ones((n, 3), jnp.float32)
+    if meta.has_absorbing_dielectric:
+        # Beer–Lambert with exit re-trace (dielectric.go:118-153).
+        start = rec.p + 1e-3 * d_diel
+        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
+        path_len = vm.length(exit_rec.p - rec.p)
+        path_len = jnp.clip(path_len, 0.1, 100.0)
+        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
+        absorbed = jnp.exp(-mat["absorption"] * path_len[:, None])
+        apply = mat["has_absorption"] & ~is_refl
+        diel_att = jnp.where(apply[:, None], absorbed, diel_att)
+
+    # ---- PBR (gated: compiled out of PBR-free scenes) ----
+    if meta.has_pbr:
+        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d)
+        pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
+            cs, meta, mat, rec, d, pbr_n, us)
+        is_pbr_spec = is_pbr & pbr_spec_choice
+    else:
+        rec_n = rec.normal
+        pbr_n = rec.normal
+        is_pbr = jnp.zeros(n, bool)
+        is_pbr_spec = jnp.zeros(n, bool)
+        d_pbr_spec = d
+
+    # ---- diffuse: mixture of light PDF and cosine PDF (colour.go:48-57).
+    # Cosine lobe axis: the PBR-mapped normal for PBR, the record normal
+    # otherwise (srec.PDF() is built on the material's normal).
+    cos_axis = jnp.where(is_pbr[:, None], pbr_n, rec.normal)
+    choose_light = us[:, 4] < 0.5  # mixture.go:27
+    d_light = lights_mod.sample(cs.lights, rec.p, us[:, 5:9])
+    d_cos = sampling.cosine_pdf_generate(
+        cos_axis, us[:, 9], us[:, 10], settings.exact_book_cosine
+    )
+    d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
+    if differentiable:
+        d_diff = jax.lax.stop_gradient(d_diff)
+    pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
+        0.5 * sampling.cosine_pdf_value(cos_axis, d_diff)
+    if differentiable:
+        pdf_val = jax.lax.stop_gradient(pdf_val)
+
+    albedo = emit_rgb  # same texture slot; one evaluation per bounce
+    # ScatteringPDF axis: the RECORD normal (triangle-TBN-mapped for PBR
+    # triangles, pbr.go:249; plain record normal for Lambert).
+    spdf_axis = jnp.where(is_pbr[:, None], rec_n, rec.normal)
+    cos_out = vm.dot(spdf_axis, vm.normalize(d_diff))
+    spdf_cos = jnp.maximum(cos_out, 0.0) / jnp.pi
+    # Isotropic: ScatteringPDF()==0 (isotropic.go:54) — contributes 0.
+    diffuse_like = (kind == mt.MAT_LAMBERT) | is_pbr
+    spdf = jnp.where(diffuse_like, spdf_cos, 0.0)
+    ratio = spdf / pdf_val
+    if differentiable:
+        # The forward path keeps the reference's NaN/Inf-on-zero-pdf chain
+        # (DeNAN'd at the sample level); in the differentiable estimator a
+        # single Inf would poison every parameter gradient, so dead samples
+        # are zeroed instead.
+        ratio = jnp.where((pdf_val > 0.0) & jnp.isfinite(ratio), ratio, 0.0)
+    diff_mult = albedo * ratio[:, None]
+
+    # ---- combine ----
+    d_new = jnp.where(
+        is_metal[:, None], d_metal,
+        jnp.where(is_diel[:, None], d_diel,
+                  jnp.where(is_pbr_spec[:, None], d_pbr_spec, d_diff)),
+    )
+    mult = jnp.where(
+        is_metal[:, None], albedo,
+        jnp.where(is_diel[:, None], diel_att,
+                  jnp.where(is_pbr_spec[:, None], albedo, diff_mult)),
+    )
+
+    thru = jnp.where(active[:, None], thru * mult, thru)
+    o = jnp.where(active[:, None], rec.p, o)
+    d = jnp.where(active[:, None], d_new, d)
+    return o, d, thru, rad, active, nrays
+
+
+def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
+                    depth, thru, rad, active, bg_spd_id: int):
+    """Advance every live spectral path one bounce. thru/rad are scalar (N,).
+    Reference: sampler/spectral.go:47-80. Returns
+    (o, d, thru, rad, active, nrays, bg_val)."""
+    from izpi_tpu.spectral import spd as spd_mod
+
+    rec = intersect(o, d, time, T_MIN, prim.T_MAX)
+    if meta.n_media > 0:
+        rec = _apply_media(cs, meta, rec, o, d, time, keys, depth)
+    nrays = jnp.sum(active.astype(jnp.int32))
+
+    bg_val = spd_mod.device_spd_value(
+        cs.spd_table, jnp.full_like(rec.mat_id, bg_spd_id), lam
+    )
+    miss = active & ~rec.hit
+    rad = rad + jnp.where(miss, thru * bg_val, 0.0)
+    active = active & rec.hit
+
+    mat = _gather_mat_spectral(cs, rec.mat_id)
+    kind = mat["kind"]
+
+    rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
+    luma = spectral_eval.luminance(rgb)
+    spec_val = spectral_eval.spectral_value(
+        cs.spd_table, mat["spec_albedo_id"], mat["spec_albedo_gauss"],
+        lam, luma,
+    )
+
+    facing = vm.dot(rec.normal, d) < 0.0
+    is_light = kind == mt.MAT_DIFFUSE_LIGHT
+    emitted = jnp.where(is_light & facing, spec_val, 0.0)
+    rad = rad + jnp.where(active, thru * emitted, 0.0)
+
+    # Lights don't scatter; metals' SpectralScatter is the nonSpectral stub
+    # returning false (non_spectral.go:18-21) → terminate.
+    is_metal = kind == mt.MAT_METAL
+    active = active & ~is_light & ~is_metal
+
+    us = rng.bounce_uniforms_perray(keys, depth, 12)
+
+    # Dielectric with η(λ) → dispersion (dielectric.go:186).
+    eta = jnp.where(
+        mat["spec_ref_idx_id"] >= 0,
+        spd_mod.device_spd_value(
+            cs.spd_table, jnp.maximum(mat["spec_ref_idx_id"], 0), lam),
+        mat["ref_idx"],
+    )
+    is_diel = kind == mt.MAT_DIELECTRIC
+    d_diel, is_refl = _dielectric_scatter(d, rec.normal, eta, us[:, 3])
+    diel_att = jnp.ones_like(thru)
+    if meta.has_absorbing_dielectric:
+        # Spectral Beer–Lambert (dielectric.go:104-115, 190-199).
+        start = rec.p + 1e-3 * d_diel
+        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
+        path_len = vm.length(exit_rec.p - rec.p)
+        path_len = jnp.clip(path_len, 0.1, 100.0)
+        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
+        alpha = spd_mod.device_spd_value(
+            cs.spd_table, jnp.maximum(mat["spec_absorb_id"], 0), lam)
+        absorbed = jnp.exp(-alpha * path_len)
+        apply = (mat["spec_absorb_id"] >= 0) & ~is_refl
+        diel_att = jnp.where(apply, absorbed, diel_att)
+
+    if meta.has_pbr:
+        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d)
+        pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
+            cs, meta, mat, rec, d, pbr_n, us)
+        is_pbr_spec = is_pbr & pbr_spec_choice
+    else:
+        rec_n = rec.normal
+        pbr_n = rec.normal
+        is_pbr = jnp.zeros_like(is_metal)
+        is_pbr_spec = jnp.zeros_like(is_metal)
+        d_pbr_spec = d
+
+    cos_axis = jnp.where(is_pbr[:, None], pbr_n, rec.normal)
+    choose_light = us[:, 4] < 0.5
+    d_light = lights_mod.sample(cs.lights, rec.p, us[:, 5:9])
+    d_cos = sampling.cosine_pdf_generate(
+        cos_axis, us[:, 9], us[:, 10], settings.exact_book_cosine
+    )
+    d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
+    pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
+        0.5 * sampling.cosine_pdf_value(cos_axis, d_diff)
+
+    spdf_axis = jnp.where(is_pbr[:, None], rec_n, rec.normal)
+    cos_out = vm.dot(spdf_axis, vm.normalize(d_diff))
+    spdf_cos = jnp.maximum(cos_out, 0.0) / jnp.pi
+    diffuse_like = (kind == mt.MAT_LAMBERT) | is_pbr
+    spdf = jnp.where(diffuse_like, spdf_cos, 0.0)
+    diff_mult = spec_val * spdf / pdf_val
+
+    # Spectral PBR specular gets the ×1.5 albedo boost (pbr.go:253-259).
+    pbr_spec_mult = spec_val * 1.5
+
+    d_new = jnp.where(is_diel[:, None], d_diel,
+                      jnp.where(is_pbr_spec[:, None], d_pbr_spec, d_diff))
+    mult = jnp.where(is_diel, diel_att,
+                     jnp.where(is_pbr_spec, pbr_spec_mult, diff_mult))
+
+    thru = jnp.where(active, thru * mult, thru)
+    o = jnp.where(active[:, None], rec.p, o)
+    d = jnp.where(active[:, None], d_new, d)
+    return o, d, thru, rad, active, nrays, bg_val
+
+
 def trace(
     cs: "CompiledScene",
     meta: "SceneMeta",
@@ -105,21 +515,18 @@ def trace(
     o, d, time, keys,
     differentiable: bool = False,
 ):
-    """Trace a ray batch to completion.
+    """Trace a ray batch to completion (lockstep; the correctness oracle).
 
     o, d: (N,3); time: (N,); keys: (N,2) per-path RNG keys.
     Returns (color (N,3) — NOT DeNAN'd, caller applies it per the reference's
     render/rgb.go:36 — and rays_traced: () int32 total Sample-call count).
 
     differentiable=True swaps the early-exit `while_loop` for a fixed-depth
-    `lax.scan` with per-bounce rematerialization, making the radiance
-    estimate reverse-mode differentiable w.r.t. material/texture/light
-    parameters. Sampling decisions (directions, mixture pdf) are detached
-    (stop_gradient) — the standard detached-sampling estimator: throughput
-    factors carry the gradient, discrete choices and pdfs do not.
+    `lax.scan` with per-bounce rematerialization: the radiance estimate
+    becomes reverse-mode differentiable w.r.t. material/texture/light
+    parameters with detached sampling (directions and pdfs stop-gradiented).
     """
     n = o.shape[0]
-    bg = jnp.asarray(settings.background, jnp.float32)
 
     def cond(state):
         depth, *_rest, active, _nrays = state
@@ -127,107 +534,12 @@ def trace(
 
     def body(state):
         depth, o, d, time, thru, rad, active, nrays = state
-
-        rec = intersect(o, d, time, T_MIN, prim.T_MAX)
-        nrays = nrays + jnp.sum(active.astype(jnp.int32))
-
-        # Miss → background (colour.go:63).
-        miss = active & ~rec.hit
-        rad = rad + jnp.where(miss[:, None], thru * bg[None, :], 0.0)
-        active = active & rec.hit
-
-        mat = _gather_mat(cs, rec.mat_id)
-        kind = mat["kind"]
-
-        # Emission: one-sided diffuse light (diffuselight.go:49-63).
-        emit_rgb = tex_tables.eval_rgb(
-            cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p,
-            has_checker=meta.has_checker, has_image=meta.has_image,
-            has_noise=meta.has_noise,
+        depth_vec = jnp.zeros(n, jnp.int32) + depth
+        o, d, thru, rad, active, nr = bounce_rgb(
+            cs, meta, settings, intersect, o, d, time, keys, depth_vec,
+            thru, rad, active, differentiable=differentiable,
         )
-        facing = vm.dot(rec.normal, d) < 0.0
-        is_light = kind == mt.MAT_DIFFUSE_LIGHT
-        emitted = jnp.where((is_light & facing)[:, None], emit_rgb, 0.0)
-        rad = rad + jnp.where(active[:, None], thru * emitted, 0.0)
-
-        # Lights don't scatter (diffuselight.go:40) → terminate.
-        active = active & ~is_light
-
-        us = rng.bounce_uniforms(keys, depth, 12)
-
-        is_metal = kind == mt.MAT_METAL
-        is_diel = kind == mt.MAT_DIELECTRIC
-        specular = is_metal | is_diel
-
-        # ---- metal (metal.go:34-40): unit-direction mirror + fuzz ----
-        refl_unit = vm.reflect(vm.normalize(d), rec.normal)
-        fuzz_vec = sampling.random_in_unit_sphere(us[:, 0], us[:, 1], us[:, 2])
-        d_metal = refl_unit + mat["fuzz"][:, None] * fuzz_vec
-
-        # ---- dielectric ----
-        d_diel, is_refl = _dielectric_scatter(
-            d, rec.normal, mat["ref_idx"], us[:, 3]
-        )
-        diel_att = jnp.ones((n, 3), jnp.float32)
-        if meta.has_absorbing_dielectric:
-            # Beer–Lambert with exit re-trace (dielectric.go:118-153):
-            # trace from p + 0.001·dir over [0, 1000]; |exit-p| clamped to
-            # [0.1, 100]; miss → 10.
-            start = rec.p + 1e-3 * d_diel
-            exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
-            path_len = vm.length(exit_rec.p - rec.p)
-            path_len = jnp.clip(path_len, 0.1, 100.0)
-            path_len = jnp.where(exit_rec.hit, path_len, 10.0)
-            absorbed = jnp.exp(-mat["absorption"] * path_len[:, None])
-            apply = mat["has_absorption"] & ~is_refl
-            diel_att = jnp.where(apply[:, None], absorbed, diel_att)
-
-        # ---- diffuse: mixture of light PDF and cosine PDF (colour.go:48-57) --
-        choose_light = us[:, 4] < 0.5  # mixture.go:27
-        d_light = lights_mod.sample(cs.lights, rec.p, us[:, 5:9])
-        d_cos = sampling.cosine_pdf_generate(
-            rec.normal, us[:, 9], us[:, 10], settings.exact_book_cosine
-        )
-        d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
-        if differentiable:
-            d_diff = jax.lax.stop_gradient(d_diff)
-        pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
-            0.5 * sampling.cosine_pdf_value(rec.normal, d_diff)
-        if differentiable:
-            pdf_val = jax.lax.stop_gradient(pdf_val)
-
-        albedo = emit_rgb  # same texture slot; one evaluation per bounce
-        cos_out = vm.dot(rec.normal, vm.normalize(d_diff))
-        spdf_lambert = jnp.maximum(cos_out, 0.0) / jnp.pi
-        # Isotropic: ScatteringPDF()==0 (isotropic.go:54) — contributes 0.
-        spdf = jnp.where(kind == mt.MAT_LAMBERT, spdf_lambert, 0.0)
-        ratio = spdf / pdf_val
-        if differentiable:
-            # Forward mode keeps the reference's NaN/Inf-on-zero-pdf chain
-            # (DeNAN'd at the sample level); in the differentiable estimator
-            # a single Inf would poison every parameter gradient through the
-            # multiply chain, so dead samples are zeroed instead.
-            ratio = jnp.where(
-                (pdf_val > 0.0) & jnp.isfinite(ratio), ratio, 0.0
-            )
-        diff_mult = albedo * ratio[:, None]
-
-        # ---- combine ----
-        d_new = jnp.where(
-            is_metal[:, None], d_metal,
-            jnp.where(is_diel[:, None], d_diel, d_diff),
-        )
-        metal_albedo = albedo  # metal albedo came through its constant texture
-        mult = jnp.where(
-            is_metal[:, None], metal_albedo,
-            jnp.where(is_diel[:, None], diel_att, diff_mult),
-        )
-
-        thru = jnp.where(active[:, None], thru * mult, thru)
-        o_new = jnp.where(active[:, None], rec.p, o)
-        d_out = jnp.where(active[:, None], d_new, d)
-
-        return (depth + 1, o_new, d_out, time, thru, rad, active, nrays)
+        return (depth + 1, o, d, time, thru, rad, active, nrays + nr)
 
     # Carry inits derived from ray inputs → correct varying-manual-axes type
     # under shard_map (see primitives.intersect_brute).

@@ -1,29 +1,17 @@
-"""Persistent-pool wavefront integrator — the fast forward path (RGB and
-spectral).
+"""Persistent-pool wavefront scheduler (RGB and spectral).
 
-`path.trace` keeps the whole (pixel, sample) batch in lockstep until every
-path dies, so late bounces run nearly-empty iterations (Cornell mean depth
-≈5, max 50 → ~90% wasted lanes). This module instead keeps a fixed pool of N
-path slots: each iteration advances every live path one bounce, scatters the
-radiance of finished paths into the per-pixel accumulator, and refills the
-freed slots with fresh camera samples from a global queue. Lane occupancy
-stays ~100% until the tail — the TPU answer to izpi's work-stealing goroutine
-pool (render/renderer.go:112-147), with the tile channel replaced by an
-on-device sample counter.
+The bounce kernels live in izpi_tpu.integrator.path (shared with the
+lockstep oracle and the differentiable scan). This module only schedules:
+a fixed pool of N path slots; each iteration advances every live path one
+bounce, scatters the radiance of finished paths into the per-pixel
+accumulator, and refills freed slots with fresh camera samples from a global
+queue — the TPU answer to izpi's work-stealing goroutine pool
+(render/renderer.go:112-147), with the tile channel replaced by an on-device
+sample counter. Lane occupancy stays ~100% until the tail.
 
-RGB radiometry is identical to path.trace (same per-(pixel,sample) Threefry
-streams, same estimator); only the scheduling and fp accumulation order
-differ.
-
-The spectral mode is the reference's single-wavelength transport
-(internal/sampler/spectral.go + render/spectral.go:71-106): each sample
-importance-samples λ by CIE-Y, carries scalar radiance, and deposits
-radiance·(x̄,ȳ,z̄)(λ)/pdf(λ) into an XYZ accumulator. Reference quirks kept:
-- depth cap and miss both return the background SPD at λ (spectral.go:48-52),
-- metals terminate spectral paths with zero contribution (their
-  SpectralScatter is the nonSpectral stub, material/non_spectral.go:18-21),
-- isotropic's ScatteringPDF()==0 zeroes its indirect term,
-- spectral deposits are NOT DeNAN'd (RenderPixelSpectral has no DeNAN).
+Spectral mode follows render/spectral.go:71-106: λ importance-sampled by
+CIE-Y per sample, scalar radiance transport, XYZ deposit
+radiance·(x̄,ȳ,z̄)(λ)/pdf(λ), deposits NOT DeNAN'd (faithful).
 """
 
 from __future__ import annotations
@@ -32,194 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from izpi_tpu import camera as camera_mod
-from izpi_tpu.core import rng, sampling
+from izpi_tpu.core import rng
 from izpi_tpu.core import vecmath as vm
-from izpi_tpu.geometry import primitives as prim
-from izpi_tpu.integrator import lights as lights_mod
+from izpi_tpu.core.loops import chunked_while
 from izpi_tpu.integrator import path as path_mod
-from izpi_tpu.materials import spectral_eval
-from izpi_tpu.materials import tables as mt
 from izpi_tpu.spectral import cie
-from izpi_tpu.texture import tables as tex_tables
 
 LAMBDA_SALT = 0x7A3B
-
-
-def _gather_mat_spectral(cs, mat_id):
-    safe = jnp.maximum(mat_id, 0)
-    m = cs.materials
-    out = path_mod._gather_mat(cs, mat_id)
-    out.update({
-        "spec_albedo_id": m.spec_albedo_id[safe],
-        "spec_albedo_gauss": m.spec_albedo_gauss[safe],
-        "spec_ref_idx_id": m.spec_ref_idx_id[safe],
-        "spec_absorb_id": m.spec_absorb_id[safe],
-    })
-    return out
-
-
-def _bounce(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
-            rad, active):
-    """Advance every live RGB path one bounce (per-ray depth)."""
-    n = o.shape[0]
-    bg = jnp.asarray(settings.background, jnp.float32)
-
-    rec = intersect(o, d, time, path_mod.T_MIN, prim.T_MAX)
-    nrays = jnp.sum(active.astype(jnp.int32))
-
-    miss = active & ~rec.hit
-    rad = rad + jnp.where(miss[:, None], thru * bg[None, :], 0.0)
-    active = active & rec.hit
-
-    mat = path_mod._gather_mat(cs, rec.mat_id)
-    kind = mat["kind"]
-
-    emit_rgb = tex_tables.eval_rgb(
-        cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p,
-        has_checker=meta.has_checker, has_image=meta.has_image,
-        has_noise=meta.has_noise,
-    )
-    facing = vm.dot(rec.normal, d) < 0.0
-    is_light = kind == mt.MAT_DIFFUSE_LIGHT
-    emitted = jnp.where((is_light & facing)[:, None], emit_rgb, 0.0)
-    rad = rad + jnp.where(active[:, None], thru * emitted, 0.0)
-    active = active & ~is_light
-
-    us = rng.bounce_uniforms_perray(keys, depth, 12)
-
-    is_metal = kind == mt.MAT_METAL
-    is_diel = kind == mt.MAT_DIELECTRIC
-
-    refl_unit = vm.reflect(vm.normalize(d), rec.normal)
-    fuzz_vec = sampling.random_in_unit_sphere(us[:, 0], us[:, 1], us[:, 2])
-    d_metal = refl_unit + mat["fuzz"][:, None] * fuzz_vec
-
-    d_diel, is_refl = path_mod._dielectric_scatter(
-        d, rec.normal, mat["ref_idx"], us[:, 3]
-    )
-    diel_att = jnp.ones((n, 3), jnp.float32)
-    if meta.has_absorbing_dielectric:
-        start = rec.p + 1e-3 * d_diel
-        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
-        path_len = vm.length(exit_rec.p - rec.p)
-        path_len = jnp.clip(path_len, 0.1, 100.0)
-        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
-        absorbed = jnp.exp(-mat["absorption"] * path_len[:, None])
-        apply = mat["has_absorption"] & ~is_refl
-        diel_att = jnp.where(apply[:, None], absorbed, diel_att)
-
-    choose_light = us[:, 4] < 0.5
-    d_light = lights_mod.sample(cs.lights, rec.p, us[:, 5:9])
-    d_cos = sampling.cosine_pdf_generate(
-        rec.normal, us[:, 9], us[:, 10], settings.exact_book_cosine
-    )
-    d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
-    pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
-        0.5 * sampling.cosine_pdf_value(rec.normal, d_diff)
-
-    cos_out = vm.dot(rec.normal, vm.normalize(d_diff))
-    spdf = jnp.where(kind == mt.MAT_LAMBERT,
-                     jnp.maximum(cos_out, 0.0) / jnp.pi, 0.0)
-    diff_mult = emit_rgb * (spdf / pdf_val)[:, None]
-
-    d_new = jnp.where(is_metal[:, None], d_metal,
-                      jnp.where(is_diel[:, None], d_diel, d_diff))
-    mult = jnp.where(is_metal[:, None], emit_rgb,
-                     jnp.where(is_diel[:, None], diel_att, diff_mult))
-
-    thru = jnp.where(active[:, None], thru * mult, thru)
-    o = jnp.where(active[:, None], rec.p, o)
-    d = jnp.where(active[:, None], d_new, d)
-    return o, d, thru, rad, active, nrays
-
-
-def _bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
-                     depth, thru, rad, active, bg_spd_id):
-    """Advance every live spectral path one bounce. thru/rad are scalar (N,);
-    lam is the per-path wavelength in nm (constant along the path — ray
-    carries λ, sampler/spectral.go)."""
-    from izpi_tpu.spectral import spd as spd_mod
-
-    rec = intersect(o, d, time, path_mod.T_MIN, prim.T_MAX)
-    nrays = jnp.sum(active.astype(jnp.int32))
-
-    bg_val = spd_mod.device_spd_value(
-        cs.spd_table, jnp.full_like(rec.mat_id, bg_spd_id), lam
-    )
-    miss = active & ~rec.hit
-    rad = rad + jnp.where(miss, thru * bg_val, 0.0)
-    active = active & rec.hit
-
-    mat = _gather_mat_spectral(cs, rec.mat_id)
-    kind = mat["kind"]
-
-    rgb = tex_tables.eval_rgb(
-        cs.textures, mat["tex_albedo"], rec.u, rec.v, rec.p,
-        has_checker=meta.has_checker, has_image=meta.has_image,
-        has_noise=meta.has_noise,
-    )
-    luma = spectral_eval.luminance(rgb)
-    spec_val = spectral_eval.spectral_value(
-        cs.spd_table, mat["spec_albedo_id"], mat["spec_albedo_gauss"],
-        lam, luma,
-    )
-
-    facing = vm.dot(rec.normal, d) < 0.0
-    is_light = kind == mt.MAT_DIFFUSE_LIGHT
-    emitted = jnp.where(is_light & facing, spec_val, 0.0)
-    rad = rad + jnp.where(active, thru * emitted, 0.0)
-
-    # Terminators: lights don't scatter; metals' SpectralScatter is the
-    # nonSpectral stub returning false (non_spectral.go:18-21).
-    is_metal = kind == mt.MAT_METAL
-    active = active & ~is_light & ~is_metal
-
-    us = rng.bounce_uniforms_perray(keys, depth, 12)
-
-    # Dielectric with η(λ) → dispersion (dielectric.go:186).
-    eta = jnp.where(
-        mat["spec_ref_idx_id"] >= 0,
-        spd_mod.device_spd_value(
-            cs.spd_table, jnp.maximum(mat["spec_ref_idx_id"], 0), lam),
-        mat["ref_idx"],
-    )
-    is_diel = kind == mt.MAT_DIELECTRIC
-    d_diel, is_refl = path_mod._dielectric_scatter(d, rec.normal, eta, us[:, 3])
-    diel_att = jnp.ones_like(thru)
-    if meta.has_absorbing_dielectric:
-        # Spectral Beer–Lambert (dielectric.go:104-115, 190-199).
-        start = rec.p + 1e-3 * d_diel
-        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
-        path_len = vm.length(exit_rec.p - rec.p)
-        path_len = jnp.clip(path_len, 0.1, 100.0)
-        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
-        alpha = spd_mod.device_spd_value(
-            cs.spd_table, jnp.maximum(mat["spec_absorb_id"], 0), lam)
-        absorbed = jnp.exp(-alpha * path_len)
-        apply = (mat["spec_absorb_id"] >= 0) & ~is_refl
-        diel_att = jnp.where(apply, absorbed, diel_att)
-
-    choose_light = us[:, 4] < 0.5
-    d_light = lights_mod.sample(cs.lights, rec.p, us[:, 5:9])
-    d_cos = sampling.cosine_pdf_generate(
-        rec.normal, us[:, 9], us[:, 10], settings.exact_book_cosine
-    )
-    d_diff = jnp.where(choose_light[:, None], d_light, d_cos)
-    pdf_val = 0.5 * lights_mod.pdf_value(cs.lights, rec.p, d_diff) + \
-        0.5 * sampling.cosine_pdf_value(rec.normal, d_diff)
-
-    cos_out = vm.dot(rec.normal, vm.normalize(d_diff))
-    spdf = jnp.where(kind == mt.MAT_LAMBERT,
-                     jnp.maximum(cos_out, 0.0) / jnp.pi, 0.0)
-    diff_mult = spec_val * spdf / pdf_val
-
-    d_new = jnp.where(is_diel[:, None], d_diel, d_diff)
-    mult = jnp.where(is_diel, diel_att, diff_mult)
-
-    thru = jnp.where(active, thru * mult, thru)
-    o = jnp.where(active[:, None], rec.p, o)
-    d = jnp.where(active[:, None], d_new, d)
-    return o, d, thru, rad, active, nrays, bg_val
+LOOP_CHUNK = 64
 
 
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
@@ -228,7 +36,9 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
     """Render nx×ny@spp with a persistent path pool.
 
     Returns (acc (nx*ny, 3) summed radiance — RGB, or CIE XYZ in spectral
-    mode; divide by spp for the image — and the total ray count).
+    mode; divide by spp for the image — and the total ray count). Samples
+    are keyed (pixel, sample) exactly like the lockstep renderer, so the
+    estimate matches it up to fp accumulation order.
     """
     n_pix = nx * ny
     total = n_pix * spp
@@ -279,13 +89,13 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
 
     def body(st):
         if spectral:
-            o, d, thru, rad, active, nrays, bg_val = _bounce_spectral(
+            o, d, thru, rad, active, nrays, bg_val = path_mod.bounce_spectral(
                 cs, meta, settings, intersect,
                 st["o"], st["d"], st["time"], st["lam"], st["keys"],
                 st["depth"], st["thru"], st["rad"], st["active"], bg_spd_id,
             )
         else:
-            o, d, thru, rad, active, nrays = _bounce(
+            o, d, thru, rad, active, nrays = path_mod.bounce_rgb(
                 cs, meta, settings, intersect,
                 st["o"], st["d"], st["time"], st["keys"], st["depth"],
                 st["thru"], st["rad"], st["active"],
@@ -303,7 +113,6 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
 
         died = st["active"] & ~active
         if spectral:
-            # Deposit radiance·(x̄,ȳ,z̄)(λ)/pdf(λ) — render/spectral.go:94-98.
             x, y, z = cie.get_cie_values(st["lam"])
             xyz = jnp.stack([x, y, z], axis=-1)
             contrib = xyz * (rad / st["lam_pdf"])[:, None]
@@ -322,7 +131,7 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
 
         sel = issue[:, None]
         sel_r = issue if spectral else sel
-        st_new = dict(
+        return dict(
             o=jnp.where(sel, o_n, o),
             d=jnp.where(sel, d_n, d),
             time=jnp.where(issue, t_n, st["time"]),
@@ -338,12 +147,9 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
             acc=acc,
             nrays=st["nrays"] + nrays,
         )
-        return st_new
 
     # Chunked while: the body is a fixpoint once every slot is inactive
     # (all updates are masked), so over-running up to LOOP_CHUNK-1
     # iterations after the queue drains is harmless. See core.loops.
-    from izpi_tpu.core.loops import chunked_while
-
-    final = chunked_while(cond, body, state0, chunk=64)
+    final = chunked_while(cond, body, state0, chunk=LOOP_CHUNK)
     return final["acc"], final["nrays"]

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 
 from izpi_tpu.spectral import spd as spd_mod
 
-# Rec.709 luma (the conventional "luminance of RGB").
-LUMA = (0.2126, 0.7152, 0.0722)
+# NTSC/Rec.601 luma — the reference's RGB→spectral fallback coefficients
+# (pbr.go:293: 0.299·R + 0.587·G + 0.114·B).
+LUMA = (0.299, 0.587, 0.114)
 
 
 def luminance(rgb):

@@ -19,6 +19,8 @@ import time as time_mod
 from functools import partial
 from typing import Optional, Tuple
 
+from izpi_tpu.integrator import aov as aov_mod
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +64,48 @@ def sample_pass(cs: CompiledScene, meta: SceneMeta,
     return vm.de_nan(color), nrays
 
 
+def _render_aov(cs, meta, settings, intersect, nx, ny, spp, seed,
+                sampler_type: str, ink) -> RenderResult:
+    """First-hit AOV render (albedo/normal/wireframe samplers,
+    internal/sampler/{albedo,normal,wireframe}.go): jittered camera rays,
+    one intersection each, averaged over spp."""
+    base_key = rng.render_key(seed)
+    paper = settings.background
+
+    @partial(jax.jit, static_argnames=("n_spp",))
+    def run(key, n_spp):
+        ys = jnp.repeat(jnp.arange(ny, dtype=jnp.int32), nx)
+        xs = jnp.tile(jnp.arange(nx, dtype=jnp.int32), ny)
+        pixel_ids = ys * nx + xs
+
+        def body(s, acc):
+            keys = rng.path_keys(key, pixel_ids, s)
+            cam_u = rng.bounce_uniforms(keys, jnp.int32(0), 5,
+                                        salt=CAMERA_SALT)
+            u = (xs.astype(jnp.float32) + cam_u[:, 0]) / nx
+            v = (ys.astype(jnp.float32) + cam_u[:, 1]) / ny
+            o, d, tme = camera_mod.get_rays(cs.camera, u, v, cam_u[:, 2:5])
+            if sampler_type == "albedo":
+                c = aov_mod.sample_albedo(cs, meta, intersect, o, d, tme)
+            elif sampler_type == "normal":
+                c = aov_mod.sample_normal(cs, meta, intersect, o, d, tme)
+            else:
+                c = aov_mod.sample_wireframe(cs, meta, intersect, o, d, tme,
+                                             ink, paper)
+            return acc + vm.de_nan(c)
+
+        acc = jax.lax.fori_loop(
+            0, n_spp, body, jnp.zeros((nx * ny, 3), jnp.float32))
+        return acc / n_spp
+
+    t0 = time_mod.perf_counter()
+    acc = np.asarray(run(base_key, spp))
+    seconds = time_mod.perf_counter() - t0
+    image = acc.reshape(ny, nx, 3)[::-1]
+    return RenderResult(image=image, rays_traced=nx * ny * spp,
+                        seconds=seconds)
+
+
 # Below this primitive count brute force wins on TPU: a dense N×P pass is
 # pure VPU work with zero divergence, while BVH traversal pays gathers and
 # lockstep idling. Above it the BVH's O(log P) wins.
@@ -89,17 +133,26 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
            row_chunk: Optional[int] = None,
            mode: str = "wavefront",
            pool_size: Optional[int] = None,
+           sampler_type: str = "colour",
+           ink: Tuple[float, float, float] = (0.0, 0.0, 0.0),
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
     mode: "wavefront" (persistent path pool, fastest) or "simple" (lockstep
     batch per sample — the straightforward analog of path.trace, kept as the
     oracle and for row-chunked very large frames).
+    sampler_type ∈ {colour, spectral, albedo, normal, wireframe}
+    (sampler/sampler.go:13-28); spectral scenes auto-upgrade colour→spectral
+    like the reference (leader.go:78-81).
     """
     settings = settings or path_mod.RenderSettings()
     cs, meta, intersect = prepare(scene, use_bvh=use_bvh)
 
-    spectral = meta.spectral
+    if sampler_type in ("albedo", "normal", "wireframe"):
+        return _render_aov(cs, meta, settings, intersect, nx, ny, spp, seed,
+                           sampler_type, ink)
+
+    spectral = meta.spectral or sampler_type == "spectral"
     if mode == "wavefront" or spectral:
         from izpi_tpu.integrator import wavefront
 

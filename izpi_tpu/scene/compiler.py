@@ -32,6 +32,23 @@ from izpi_tpu.texture import perlin as perlin_mod
 from izpi_tpu.texture import tables as tex_tables
 
 
+class Media(NamedTuple):
+    """Participating media (ConstantMedium boundaries), SoA.
+
+    Boundaries are boxes or spheres in object space with a baked rigid
+    transform (rot_w2o/trans: p_obj = rot_w2o @ (p_world - trans)) — the
+    analog of the reference wrapping media in Translate/RotateY
+    (constant_medium.go + scenes' smoke boxes)."""
+
+    rot_w2o: jax.Array   # (M, 3, 3)
+    trans: jax.Array     # (M, 3)
+    p0: jax.Array        # (M, 3) box min | sphere center
+    p1: jax.Array        # (M, 3) box max | (radius, 0, 0)
+    is_sphere: jax.Array # (M,) bool
+    density: jax.Array   # (M,)
+    mat_id: jax.Array    # (M,) int32 (the Isotropic phase material)
+
+
 class CompiledScene(NamedTuple):
     """Everything the device needs, as one pytree of arrays."""
 
@@ -41,6 +58,7 @@ class CompiledScene(NamedTuple):
     lights: lights_mod.Lights
     camera: camera_mod.CameraArrays
     spd_table: jax.Array  # (S, 371) f32 on the 1nm grid (dummy row 0 = zeros)
+    media: Media
 
 
 @dataclasses.dataclass
@@ -58,6 +76,9 @@ class SceneMeta:
     has_checker: bool = True
     has_image: bool = True
     has_noise: bool = True
+    has_pbr: bool = True
+    n_media: int = 0
+    media_is_sphere: tuple = ()
 
 
 @dataclasses.dataclass
@@ -130,6 +151,14 @@ class _Builder:
         # spectra
         self.spds: List[np.ndarray] = [np.zeros(spd_mod.DEVICE_GRID_N, np.float32)]
         self.has_absorbing_dielectric = False
+        # media
+        self.med_rot: List[np.ndarray] = []
+        self.med_trans: List[np.ndarray] = []
+        self.med_p0: List[np.ndarray] = []
+        self.med_p1: List[np.ndarray] = []
+        self.med_sphere: List[bool] = []
+        self.med_density: List[float] = []
+        self.med_mat: List[int] = []
 
     # ---------------- textures ----------------
 
@@ -400,7 +429,10 @@ def _box_sides(b: st.Box):
 
 
 def _compile_hitable(b: _Builder, h: st.Hitable, xf: _Transform):
-    if isinstance(h, st.FlipNormals):
+    if isinstance(h, st.Group):
+        for child in h.children:
+            _compile_hitable(b, child, xf)
+    elif isinstance(h, st.FlipNormals):
         _compile_hitable(b, h.inner, xf.then_flip())
     elif isinstance(h, st.Translate):
         _compile_hitable(b, h.inner, xf.then_translate(h.offset))
@@ -435,7 +467,37 @@ def _compile_hitable(b: _Builder, h: st.Hitable, xf: _Transform):
             vn = (h.normals[i].reshape(9) if has_vn else np.zeros(9))
             b.add_triangle_raw(v[0], v[1], v[2], uv, vn, has_vn, mat_id, xf)
     elif isinstance(h, st.ConstantMedium):
-        raise NotImplementedError("ConstantMedium lands with the media round")
+        # Resolve the boundary (possibly transform-wrapped box/sphere) into
+        # a rigid transform + canonical shape.
+        mat_id = b.add_material(h.phase)
+        inner = h.boundary
+        bxf = xf
+        while isinstance(inner, (st.FlipNormals, st.Translate, st.RotateY)):
+            if isinstance(inner, st.FlipNormals):
+                inner = inner.inner
+            elif isinstance(inner, st.Translate):
+                bxf = bxf.then_translate(inner.offset)
+                inner = inner.inner
+            else:
+                bxf = bxf.then_rotate_y(inner.angle_degrees)
+                inner = inner.inner
+        if isinstance(inner, st.Box):
+            b.med_rot.append(bxf.rot.T)  # world→object
+            b.med_trans.append(bxf.trans)
+            b.med_p0.append(np.array(inner.p0, np.float64))
+            b.med_p1.append(np.array(inner.p1, np.float64))
+            b.med_sphere.append(False)
+        elif isinstance(inner, st.Sphere):
+            b.med_rot.append(bxf.rot.T)
+            b.med_trans.append(bxf.trans)
+            b.med_p0.append(np.array(inner.center0, np.float64))
+            b.med_p1.append(np.array([inner.radius, 0.0, 0.0]))
+            b.med_sphere.append(True)
+        else:
+            raise NotImplementedError(
+                f"ConstantMedium boundary {type(inner).__name__} unsupported")
+        b.med_density.append(float(h.density))
+        b.med_mat.append(mat_id)
     else:
         raise TypeError(f"unknown hitable {h!r}")
 
@@ -549,10 +611,27 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
     if scene.spectral_background is not None:
         spectral_bg_id = b.add_spd(scene.spectral_background)
 
+    n_media = len(b.med_density)
+    if n_media == 0:
+        media = Media(
+            rot_w2o=f32(np.eye(3)[None]), trans=f32(np.zeros((1, 3))),
+            p0=f32(np.zeros((1, 3))), p1=f32(np.ones((1, 3))),
+            is_sphere=jnp.asarray([False]), density=f32([1.0]),
+            mat_id=i32([0]),
+        )
+    else:
+        media = Media(
+            rot_w2o=f32(np.stack(b.med_rot)), trans=f32(np.stack(b.med_trans)),
+            p0=f32(np.stack(b.med_p0)), p1=f32(np.stack(b.med_p1)),
+            is_sphere=jnp.asarray(b.med_sphere), density=f32(b.med_density),
+            mat_id=i32(b.med_mat),
+        )
+
     cs = CompiledScene(
         prims=prims, materials=materials, textures=textures, lights=lights,
         camera=camera_mod.compile_camera(scene.camera),
         spd_table=jnp.asarray(np.stack(b.spds)),
+        media=media,
     )
     kinds_present = set(b.tex_kind)
     meta = SceneMeta(
@@ -564,5 +643,8 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         has_checker=tex_tables.TEX_CHECKER in kinds_present,
         has_image=tex_tables.TEX_IMAGE in kinds_present,
         has_noise=tex_tables.TEX_NOISE in kinds_present,
+        has_pbr=any(r["kind"] == mat_tables.MAT_PBR for r in b.mat_rows),
+        n_media=n_media,
+        media_is_sphere=tuple(b.med_sphere),
     )
     return cs, meta

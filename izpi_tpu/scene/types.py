@@ -317,6 +317,16 @@ class ConstantMedium:
 
 
 @dataclass(frozen=True)
+class Group:
+    """A geometry-only container so transform wrappers can apply to many
+    hitables at once (the analog of wrapping a nested BVH in
+    Translate/RotateY, e.g. the Final scene's sphere cluster,
+    scenes.go Final)."""
+
+    children: Tuple["Hitable", ...]
+
+
+@dataclass(frozen=True)
 class FlipNormals:
     inner: "Hitable"
 
@@ -335,7 +345,7 @@ class RotateY:
 
 Hitable = Union[
     Sphere, XYRect, XZRect, YZRect, Box, Triangle, TriangleMesh,
-    ConstantMedium, FlipNormals, Translate, RotateY,
+    ConstantMedium, Group, FlipNormals, Translate, RotateY,
 ]
 
 
@@ -387,7 +397,10 @@ def hitable_material(h: Hitable) -> Optional[Material]:
     if isinstance(h, (FlipNormals, Translate, RotateY)):
         return hitable_material(h.inner)
     if isinstance(h, ConstantMedium):
-        return h.phase
+        # IsEmitter delegates to the BOUNDARY's material in the reference
+        # (constant_medium.go:86-88) — so a glass-bounded medium joins the
+        # light list (as a null member, PDF 0 / Random (1,0,0)).
+        return hitable_material(h.boundary)
     return getattr(h, "material", None)
 
 
