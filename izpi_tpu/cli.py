@@ -90,6 +90,8 @@ def main(argv=None) -> int:
     res = renderer.render(
         scene, args.x, args.y, args.samples, settings=settings,
         seed=args.seed, sampler_type=args.sampler, ink=ink,
+        checkpoint_path=args.checkpoint,
+        checkpoint_interval=args.checkpoint_interval,
         verbose=args.verbose,
     )
     if profile_ctx is not None:

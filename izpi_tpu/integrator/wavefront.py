@@ -32,13 +32,14 @@ LOOP_CHUNK = 64
 
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
                base_key, pool_size: int, spectral: bool = False,
-               bg_spd_id: int = 0):
+               bg_spd_id: int = 0, sample_offset: int = 0):
     """Render nx×ny@spp with a persistent path pool.
 
     Returns (acc (nx*ny, 3) summed radiance — RGB, or CIE XYZ in spectral
     mode; divide by spp for the image — and the total ray count). Samples
-    are keyed (pixel, sample) exactly like the lockstep renderer, so the
-    estimate matches it up to fp accumulation order.
+    are keyed (pixel, sample+sample_offset) exactly like the lockstep
+    renderer, so the estimate matches it up to fp accumulation order;
+    sample_offset lets callers render in resumable chunks (checkpointing).
     """
     n_pix = nx * ny
     total = n_pix * spp
@@ -47,7 +48,7 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
     def sample_to_ray(sample_ids, issued):
         sid = jnp.where(issued, sample_ids, 0)
         pix = sid % n_pix
-        samp = sid // n_pix
+        samp = sid // n_pix + sample_offset
         keys = rng.path_keys_perray(base_key, pix, samp)
         cam_u = rng.bounce_uniforms_perray(
             keys, jnp.zeros_like(pix), 5, salt=0x5EED

@@ -135,6 +135,8 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
            pool_size: Optional[int] = None,
            sampler_type: str = "colour",
            ink: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+           checkpoint_path: Optional[str] = None,
+           checkpoint_interval: int = 0,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
@@ -162,15 +164,44 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
         bg_spd_id = meta.spectral_background_spd or 0
 
         @partial(jax.jit, static_argnames=("n_spp", "pool"))
-        def run(key, n_spp, pool):
+        def run(key, n_spp, pool, sample_offset):
             return wavefront.trace_pool(
                 cs, meta, settings, intersect, nx, ny, n_spp, key, pool,
                 spectral=spectral, bg_spd_id=bg_spd_id,
+                sample_offset=sample_offset,
             )
 
+        fingerprint = None
+        if checkpoint_path:
+            from izpi_tpu.render import checkpoint as ckpt_mod
+
+            fingerprint = ckpt_mod.config_fingerprint(
+                nx, ny, spp, seed, meta, settings)
+
+        chunk_spp = checkpoint_interval if checkpoint_interval else spp
+        acc_total = np.zeros((nx * ny, 3), np.float32)
+        total_rays = 0
+        start = 0
+        if checkpoint_path:
+            resumed = ckpt_mod.load(checkpoint_path, fingerprint)
+            if resumed is not None:
+                acc_total, start, total_rays = resumed
+                if verbose:
+                    print(f"resumed at sample {start}/{spp}")
+
         t0 = time_mod.perf_counter()
-        acc, nrays = run(base_key, spp, pool_size)
-        acc = np.asarray(acc)
+        for off in range(start, spp, chunk_spp):
+            n_chunk = min(chunk_spp, spp - off)
+            acc, nrays = run(base_key, n_chunk, pool_size, jnp.int32(off))
+            acc_total = acc_total + np.asarray(acc)
+            total_rays += int(nrays)
+            if checkpoint_path:
+                ckpt_mod.save(checkpoint_path, acc_total, off + n_chunk,
+                              total_rays, fingerprint)
+            if verbose:
+                print(f"samples {off + n_chunk}/{spp} done")
+        acc = acc_total
+        nrays = total_rays
         seconds = time_mod.perf_counter() - t0
         canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
         if spectral:
