@@ -168,7 +168,19 @@ def build_bvh4(prims, seed: int = 1) -> BVH4Arrays:
     return build_bvh4_from_bounds(bb_min, bb_max, seed)
 
 
-def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1) -> BVH4Arrays:
+def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1,
+                           use_native: Optional[bool] = None) -> BVH4Arrays:
+    if use_native is None:
+        use_native = True
+    if use_native:
+        from izpi_tpu.accel import native
+
+        result = native.build(np.ascontiguousarray(bb_min),
+                              np.ascontiguousarray(bb_max), seed)
+        if result is not None:
+            bounds, child, count, order = result
+            return BVH4Arrays(bounds=bounds, child=child, count=count,
+                              prim_order=order)
     nodes, order = _build_binary(bb_min, bb_max, seed)
 
     # Collapse: each BVH4 node's slots are the binary node's grandchildren

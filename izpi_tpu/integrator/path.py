@@ -93,6 +93,10 @@ def _gather_mat_spectral(cs, mat_id):
         "spec_albedo_gauss": m.spec_albedo_gauss[safe],
         "spec_ref_idx_id": m.spec_ref_idx_id[safe],
         "spec_absorb_id": m.spec_absorb_id[safe],
+        "spec_checker": m.spec_checker[safe],
+        "spec_albedo_id2": m.spec_albedo_id2[safe],
+        "spec_albedo_gauss2": m.spec_albedo_gauss2[safe],
+        "spec_albedo_uplift": m.spec_albedo_uplift[safe],
     })
     return out
 
@@ -424,10 +428,24 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
 
     rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
     luma = spectral_eval.luminance(rgb)
-    spec_val = spectral_eval.spectral_value(
+    spec_a = spectral_eval.spectral_value(
         cs.spd_table, mat["spec_albedo_id"], mat["spec_albedo_gauss"],
         lam, luma,
     )
+    # Spectral checker: the 3D sine pattern picks the odd/even branch
+    # (spectral_checker.go:33-40).
+    spec_b = spectral_eval.spectral_value(
+        cs.spd_table, mat["spec_albedo_id2"], mat["spec_albedo_gauss2"],
+        lam, luma,
+    )
+    sines = (jnp.sin(10.0 * rec.p[:, 0]) * jnp.sin(10.0 * rec.p[:, 1])
+             * jnp.sin(10.0 * rec.p[:, 2]))
+    spec_val = jnp.where(mat["spec_checker"] & (sines >= 0.0), spec_b, spec_a)
+    # RGB→spectral uplift (SpectralImage semantics) from the RGB texture.
+    from izpi_tpu.texture import uplift as uplift_mod
+
+    spec_val = jnp.where(mat["spec_albedo_uplift"],
+                         uplift_mod.eval_bucketed(rgb, lam), spec_val)
 
     facing = vm.dot(rec.normal, d) < 0.0
     is_light = kind == mt.MAT_DIFFUSE_LIGHT

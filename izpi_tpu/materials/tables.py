@@ -41,6 +41,12 @@ class Materials(NamedTuple):
     spec_albedo_gauss: jax.Array  # (M, 3) (peak, center, width); width<=0 ⇒ unused
     spec_ref_idx_id: jax.Array  # (M,) int32 η(λ) SPD id (dispersion)
     spec_absorb_id: jax.Array   # (M,) int32 spectral absorption SPD id
+    # Spectral checker (texture/spectral_checker.go): second branch params.
+    spec_checker: jax.Array     # (M,) bool
+    spec_albedo_id2: jax.Array  # (M,) int32
+    spec_albedo_gauss2: jax.Array  # (M, 3)
+    # RGB→spectral uplift of the albedo texture (texture/spectral_image.go).
+    spec_albedo_uplift: jax.Array  # (M,) bool
 
     @property
     def count(self) -> int:

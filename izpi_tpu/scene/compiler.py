@@ -216,6 +216,27 @@ class _Builder:
         self.spds.append(spd.to_device_grid())
         return sid
 
+    def _fill_spectral_albedo(self, row: dict, t):
+        """Route a spectral texture into the material row: constants →
+        id/gauss; SpectralChecker → two branches; SpectralImage → the
+        uplift flag (evaluated on the fly from the RGB texture)."""
+        if t is None:
+            return
+        if isinstance(t, st.SpectralChecker):
+            sid, gauss = self.add_spectral_texture(t.odd)
+            row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+            sid2, gauss2 = self.add_spectral_texture(t.even)
+            row["spec_albedo_id2"], row["spec_albedo_gauss2"] = sid2, gauss2
+            row["spec_checker"] = True
+            return
+        if isinstance(t, st.SpectralImage):
+            row["tex_albedo"] = self._add_texture(
+                st.ImageTexture(data=t.data))
+            row["spec_albedo_uplift"] = True
+            return
+        sid, gauss = self.add_spectral_texture(t)
+        row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+
     def add_spectral_texture(self, t: Optional[st.SpectralTexture]):
         """Returns (spd_id, gauss_params). Gaussian spectral constants stay
         parametric (texture/spectral_constant.go:27); tabulated/neutral become
@@ -243,13 +264,14 @@ class _Builder:
             sss_radius=0.0,
             spec_albedo_id=-1, spec_albedo_gauss=np.zeros(3),
             spec_ref_idx_id=-1, spec_absorb_id=-1,
+            spec_checker=False, spec_albedo_id2=-1,
+            spec_albedo_gauss2=np.zeros(3), spec_albedo_uplift=False,
         )
         if isinstance(m, st.Lambertian):
             row["kind"] = mat_tables.MAT_LAMBERT
             if m.albedo is not None:
                 row["tex_albedo"] = self._add_texture(m.albedo)
-            sid, gauss = self.add_spectral_texture(m.spectral_albedo)
-            row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+            self._fill_spectral_albedo(row, m.spectral_albedo)
         elif isinstance(m, st.Metal):
             row["kind"] = mat_tables.MAT_METAL
             row["tex_albedo"] = self.add_constant_color(m.albedo)
@@ -271,8 +293,7 @@ class _Builder:
             row["kind"] = mat_tables.MAT_DIFFUSE_LIGHT
             if m.emit is not None:
                 row["tex_albedo"] = self._add_texture(m.emit)
-            sid, gauss = self.add_spectral_texture(m.spectral_emit)
-            row["spec_albedo_id"], row["spec_albedo_gauss"] = sid, gauss
+            self._fill_spectral_albedo(row, m.spectral_emit)
         elif isinstance(m, st.Isotropic):
             row["kind"] = mat_tables.MAT_ISOTROPIC
             if m.albedo is not None:
@@ -285,6 +306,7 @@ class _Builder:
                 if tex is not None:
                     row[slot] = self._add_texture(tex)
             row["sss_radius"] = float(m.sss_radius)
+            self._fill_spectral_albedo(row, m.spectral_albedo)
         else:
             raise TypeError(f"unknown material {m!r}")
         mid = len(self.mat_rows)
@@ -585,6 +607,14 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         perlin=perlin_mod.build_tables(seed=0),
     )
 
+    if scene.spectral:
+        # SPECTRAL scenes uplift PBR RGB albedos automatically, like the
+        # transport's textureToSpectralTexture step (transport.go:241-248).
+        for r in b.mat_rows:
+            if (r["kind"] == mat_tables.MAT_PBR and r["spec_albedo_id"] < 0
+                    and r["spec_albedo_gauss"][2] <= 0):
+                r["spec_albedo_uplift"] = True
+
     col = lambda name: [r[name] for r in b.mat_rows]
     materials = mat_tables.Materials(
         kind=i32(col("kind")), tex_albedo=i32(col("tex_albedo")),
@@ -598,6 +628,10 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         spec_albedo_gauss=f32(np.stack(col("spec_albedo_gauss"))),
         spec_ref_idx_id=i32(col("spec_ref_idx_id")),
         spec_absorb_id=i32(col("spec_absorb_id")),
+        spec_checker=jnp.asarray(col("spec_checker")),
+        spec_albedo_id2=i32(col("spec_albedo_id2")),
+        spec_albedo_gauss2=f32(np.stack(col("spec_albedo_gauss2"))),
+        spec_albedo_uplift=jnp.asarray(col("spec_albedo_uplift")),
     )
 
     lights = lights_mod.Lights(

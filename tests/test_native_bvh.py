@@ -1,0 +1,32 @@
+"""Native (C++) BVH4 builder vs the numpy oracle — node-for-node."""
+
+import numpy as np
+import pytest
+
+from izpi_tpu.accel import bvh_build, native
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_matches_python_exactly():
+    rs = np.random.RandomState(3)
+    n = 5000
+    mn = rs.rand(n, 3) * 100
+    mx = mn + rs.rand(n, 3)
+    a = bvh_build.build_bvh4_from_bounds(mn, mx, seed=1, use_native=False)
+    b = bvh_build.build_bvh4_from_bounds(mn, mx, seed=1, use_native=True)
+    np.testing.assert_array_equal(a.prim_order, b.prim_order)
+    np.testing.assert_array_equal(a.child, b.child)
+    np.testing.assert_array_equal(a.count, b.count)
+    np.testing.assert_array_equal(a.bounds, b.bounds)
+    assert bvh_build.validate(b, n) == []
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_large_build_valid():
+    rs = np.random.RandomState(4)
+    n = 200_000
+    mn = rs.rand(n, 3) * 1000
+    mx = mn + rs.rand(n, 3)
+    arrays = bvh_build.build_bvh4_from_bounds(mn, mx, seed=2)
+    assert bvh_build.validate(arrays, n) == []
+    assert (arrays.count <= bvh_build.LEAF_SIZE).all()
