@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint file for resumable renders")
     p.add_argument("--checkpoint-interval", type=int, default=0,
                    help="samples between checkpoint writes (0 = off)")
+    p.add_argument("--preview", default=None,
+                   help="write a progressive preview PNG to this path "
+                        "(the headless analog of the live display window)")
     return p
 
 
@@ -92,6 +95,7 @@ def main(argv=None) -> int:
         seed=args.seed, sampler_type=args.sampler, ink=ink,
         checkpoint_path=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
+        preview_path=args.preview,
         verbose=args.verbose,
     )
     if profile_ctx is not None:

@@ -123,7 +123,12 @@ def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
 
         cs, intersect = traverse.attach(cs, seed=seed)
     else:
-        intersect = path_mod.make_brute_intersector(cs)
+        # MXU-formulated brute force: the ray×prim tests ride the systolic
+        # array instead of the VPU (geometry.mxu_intersect).
+        from izpi_tpu.geometry import mxu_intersect
+
+        tables = mxu_intersect.build_tables(cs.prims)
+        intersect = mxu_intersect.make_intersector(cs.prims, tables)
     return cs, meta, intersect
 
 
@@ -137,6 +142,7 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
            ink: Tuple[float, float, float] = (0.0, 0.0, 0.0),
            checkpoint_path: Optional[str] = None,
            checkpoint_interval: int = 0,
+           preview_path: Optional[str] = None,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
@@ -179,6 +185,10 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
                 nx, ny, spp, seed, meta, settings)
 
         chunk_spp = checkpoint_interval if checkpoint_interval else spp
+        if preview_path and chunk_spp == spp and spp > 1:
+            # Progressive preview needs chunks (the analog of the live
+            # SDL/Fyne tile stream, internal/display — headless here).
+            chunk_spp = max(1, spp // 8)
         acc_total = np.zeros((nx * ny, 3), np.float32)
         total_rays = 0
         start = 0
@@ -198,6 +208,16 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
             if checkpoint_path:
                 ckpt_mod.save(checkpoint_path, acc_total, off + n_chunk,
                               total_rays, fingerprint)
+            if preview_path:
+                from izpi_tpu.io import output as output_mod
+
+                snap = (acc_total / (off + n_chunk)).reshape(ny, nx, 3)[::-1]
+                if spectral:
+                    from izpi_tpu.spectral import convert as conv_mod
+
+                    snap = conv_mod.xyz_to_acescg(
+                        snap.astype(np.float64), meta.exposure)
+                output_mod.write_png(preview_path, snap)
             if verbose:
                 print(f"samples {off + n_chunk}/{spp} done")
         acc = acc_total

@@ -307,20 +307,34 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
               _vec2(tri.get("uv2")))
         vn = ((_vec3(tri.get("normal0")), _vec3(tri.get("normal1")),
                _vec3(tri.get("normal2"))) if has_vn else None)
-        key = (mat_name, has_vn)
+        # DisplaceOperator (transport.proto:246-252): group displaced
+        # triangles by their map/min/max so tessellation runs per batch.
+        disp = None
+        if tri.get("operator") == "DISPLACE" and "displace" in tri:
+            dmsg = tri["displace"]
+            disp = (dmsg.get("displacement_map", ""),
+                    float(dmsg.get("min", 0.0)), float(dmsg.get("max", 0.0)))
+        key = (mat_name, has_vn, disp)
         tris_v.setdefault(key, []).append(v)
         tris_uv.setdefault(key, []).append(uv)
         tris_vn.setdefault(key, []).append(vn)
 
-    for (mat_name, has_vn), verts in tris_v.items():
+    for (mat_name, has_vn, disp), verts in tris_v.items():
         mat = materials[mat_name]
-        world.append(st.TriangleMesh(
+        mesh = st.TriangleMesh(
             vertices=np.asarray(verts, np.float64),
             material=mat,
-            uvs=np.asarray(tris_uv[(mat_name, has_vn)], np.float64),
-            normals=(np.asarray(tris_vn[(mat_name, has_vn)], np.float64)
-                     if has_vn else None),
-        ))
+            uvs=np.asarray(tris_uv[(mat_name, has_vn, disp)], np.float64),
+            normals=(np.asarray(tris_vn[(mat_name, has_vn, disp)],
+                                np.float64) if has_vn else None),
+        )
+        if disp is not None:
+            from izpi_tpu.geometry import displacement as disp_mod
+
+            dmap = b.image_texture(disp[0]).data
+            mesh = disp_mod.displace_mesh(mesh, np.asarray(dmap), disp[1],
+                                          disp[2])
+        world.append(mesh)
 
     for sph in _as_list(objs.get("spheres")):
         c = _vec3(sph.get("center"))
@@ -341,11 +355,12 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
 
 
 def load_scene(path: str, aspect: Optional[float] = None) -> st.Scene:
+    container = os.path.dirname(path) or "."
     if path.endswith(".izpi"):
-        raise NotImplementedError(
-            "binary .izpi decoding lands with the wire-format round; "
-            "use .pbtxt")
-    with open(path) as f:
-        tree = parse_pbtxt(f.read())
-    return scene_from_tree(tree, aspect=aspect,
-                           container_dir=os.path.dirname(path) or ".")
+        from izpi_tpu.scene import izpi_binary
+
+        tree = izpi_binary.load_tree(path)
+    else:
+        with open(path) as f:
+            tree = parse_pbtxt(f.read())
+    return scene_from_tree(tree, aspect=aspect, container_dir=container)
