@@ -318,17 +318,22 @@ class _Builder:
 
     def _push_prim(self, kind, g0, g1, g2, g3, mat_id, flip,
                    uv=None, vn=None, has_vn=False, tb=None):
-        self.p_kind.append(kind)
-        self.p_g0.append(np.asarray(g0, np.float64))
-        self.p_g1.append(np.asarray(g1, np.float64))
-        self.p_g2.append(np.asarray(g2, np.float64))
-        self.p_g3.append(np.asarray(g3, np.float64))
-        self.p_mat.append(mat_id)
-        self.p_flip.append(bool(flip))
-        self.p_uv.append(np.zeros(6) if uv is None else np.asarray(uv, np.float64))
-        self.p_vn.append(np.zeros(9) if vn is None else np.asarray(vn, np.float64))
-        self.p_has_vn.append(bool(has_vn))
-        self.p_tb.append(np.zeros(6) if tb is None else np.asarray(tb, np.float64))
+        # Prim storage is a list of BLOCKS (concatenated at finalize) so bulk
+        # meshes can append one (T, …) block instead of T rows.
+        self.p_kind.append(np.array([kind], np.int32))
+        self.p_g0.append(np.asarray(g0, np.float64)[None])
+        self.p_g1.append(np.asarray(g1, np.float64)[None])
+        self.p_g2.append(np.asarray(g2, np.float64)[None])
+        self.p_g3.append(np.asarray(g3, np.float64)[None])
+        self.p_mat.append(np.array([mat_id], np.int32))
+        self.p_flip.append(np.array([bool(flip)]))
+        self.p_uv.append((np.zeros(6) if uv is None
+                          else np.asarray(uv, np.float64))[None])
+        self.p_vn.append((np.zeros(9) if vn is None
+                          else np.asarray(vn, np.float64))[None])
+        self.p_has_vn.append(np.array([bool(has_vn)]))
+        self.p_tb.append((np.zeros(6) if tb is None
+                          else np.asarray(tb, np.float64))[None])
 
     def add_rect(self, p0, e1, e2, normal, mat_id, xf: _Transform):
         p0w = xf.point(p0)
@@ -365,6 +370,52 @@ class _Builder:
         self._push_prim(prim.KIND_TRIANGLE, v0w, e1, e2, n, mat_id, xf.flip,
                         uv=uv, vn=vn, has_vn=has_vn, tb=tb)
         return v0w, v1w, v2w, n
+
+    def add_triangle_mesh(self, vertices, uvs, normals, mat_id,
+                          xf: _Transform):
+        """Vectorized add_triangle_raw over a (T, 3, 3) vertex array —
+        identical per-triangle results, one block append."""
+        v = np.asarray(vertices, np.float64) @ xf.rot.T + xf.trans  # (T,3,3)
+        T = v.shape[0]
+        v0, e1, e2 = v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+        n = np.cross(e1, e2)
+        n_len = np.linalg.norm(n, axis=1, keepdims=True)
+        n = np.where(n_len > 0, n / np.where(n_len > 0, n_len, 1.0),
+                     np.array([0.0, 0.0, 1.0]))
+        uv = (np.asarray(uvs, np.float64).reshape(T, 6)
+              if uvs is not None else np.zeros((T, 6)))
+        has_vn = normals is not None
+        if has_vn:
+            vn = np.asarray(normals, np.float64) @ xf.rot.T
+            vn = vn.reshape(T, 9)
+        else:
+            vn = np.zeros((T, 9))
+        du1, dv1 = uv[:, 2] - uv[:, 0], uv[:, 3] - uv[:, 1]
+        du2, dv2 = uv[:, 4] - uv[:, 0], uv[:, 5] - uv[:, 1]
+        denom = du1 * dv2 - du2 * dv1
+        f = np.where(denom != 0.0, 1.0 / np.where(denom != 0.0, denom, 1.0),
+                     0.0)[:, None]
+        tangent = f * (dv2[:, None] * e1 - dv1[:, None] * e2)
+        bitangent = f * (-du2[:, None] * e1 + du1[:, None] * e2)
+
+        def _norm(x):
+            ln = np.linalg.norm(x, axis=1, keepdims=True)
+            return np.where(ln > 0, x / np.where(ln > 0, ln, 1.0), x)
+
+        tb = np.concatenate([_norm(tangent), _norm(bitangent)], axis=1)
+        tb = np.where((denom != 0.0)[:, None], tb, 0.0)
+
+        self.p_kind.append(np.full(T, prim.KIND_TRIANGLE, np.int32))
+        self.p_g0.append(v0)
+        self.p_g1.append(e1)
+        self.p_g2.append(e2)
+        self.p_g3.append(n)
+        self.p_mat.append(np.full(T, mat_id, np.int32))
+        self.p_flip.append(np.full(T, bool(xf.flip)))
+        self.p_uv.append(uv)
+        self.p_vn.append(vn)
+        self.p_has_vn.append(np.full(T, has_vn))
+        self.p_tb.append(tb)
 
     def add_sphere(self, c0, c1, t0, t1, radius, mat_id, xf: _Transform):
         c0w = xf.point(c0)
@@ -481,13 +532,7 @@ def _compile_hitable(b: _Builder, h: st.Hitable, xf: _Transform):
         b.add_triangle_raw(h.v0, h.v1, h.v2, uv, vn, has_vn, mat_id, xf)
     elif isinstance(h, st.TriangleMesh):
         mat_id = b.add_material(h.material)
-        T = h.vertices.shape[0]
-        for i in range(T):
-            v = h.vertices[i]
-            uv = (h.uvs[i].reshape(6) if h.uvs is not None else np.zeros(6))
-            has_vn = h.normals is not None
-            vn = (h.normals[i].reshape(9) if has_vn else np.zeros(9))
-            b.add_triangle_raw(v[0], v[1], v[2], uv, vn, has_vn, mat_id, xf)
+        b.add_triangle_mesh(h.vertices, h.uvs, h.normals, mat_id, xf)
     elif isinstance(h, st.ConstantMedium):
         # Resolve the boundary (possibly transform-wrapped box/sphere) into
         # a rigid transform + canonical shape.
@@ -565,24 +610,25 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         # Keep shapes non-empty; a null member yields pdf 0 everywhere.
         b.add_light_null()
 
-    n_p = len(b.p_kind)
-    if n_p == 0:
+    if not b.p_kind:
         raise ValueError("scene has no primitives")
 
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float64), jnp.float32)
     i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
+    cat = np.concatenate
 
     prims = prim.Prims(
-        kind=i32(b.p_kind),
-        g0=f32(np.stack(b.p_g0)), g1=f32(np.stack(b.p_g1)),
-        g2=f32(np.stack(b.p_g2)), g3=f32(np.stack(b.p_g3)),
-        mat_id=i32(b.p_mat),
-        flip=jnp.asarray(b.p_flip),
-        uv=f32(np.stack(b.p_uv)),
-        vn=f32(np.stack(b.p_vn)),
-        has_vn=jnp.asarray(b.p_has_vn),
-        tb=f32(np.stack(b.p_tb)),
+        kind=i32(cat(b.p_kind)),
+        g0=f32(cat(b.p_g0)), g1=f32(cat(b.p_g1)),
+        g2=f32(cat(b.p_g2)), g3=f32(cat(b.p_g3)),
+        mat_id=i32(cat(b.p_mat)),
+        flip=jnp.asarray(cat(b.p_flip)),
+        uv=f32(cat(b.p_uv)),
+        vn=f32(cat(b.p_vn)),
+        has_vn=jnp.asarray(cat(b.p_has_vn)),
+        tb=f32(cat(b.p_tb)),
     )
+    n_p = int(prims.kind.shape[0])
 
     if not b.tex_kind:
         b.add_constant_color((0.0, 0.0, 0.0))

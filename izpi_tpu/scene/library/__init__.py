@@ -1,11 +1,19 @@
-"""Built-in scene registry (the analog of internal/scenes)."""
+"""Built-in scene registry (the analog of internal/scenes).
 
-from izpi_tpu.scene.library import cornell, cornell_spectral, shirley  # noqa: F401
+Sources:
+- hand-written constructors matching the imperative Go builders
+  (cornell, shirley, misc);
+- `extracted`: data-exact .pbtxt conversions of every proto-literal scene
+  in internal/scenes (see scripts/extract_go_scenes.py).
+"""
+
+from izpi_tpu.scene.library import (cornell, cornell_spectral, extracted,
+                                    misc, shirley)  # noqa: F401
 
 # name -> fn(aspect) -> Scene
 REGISTRY = {
     "cornell_box": cornell.cornell_box,
-    "cornell_box_spectral": cornell_spectral.cornell_box_spectral,
+    "cornell_box_spectral_simple": cornell_spectral.cornell_box_spectral,
     "cornell_box_pyramid_spectral": (
         lambda aspect=1.0: cornell_spectral.cornell_box_spectral(
             aspect, with_prism=True)),
@@ -14,7 +22,12 @@ REGISTRY = {
     "two_perlin_spheres": shirley.two_perlin_spheres,
     "simple_light": shirley.simple_light,
     "final": shirley.final,
+    "texture_mapped_sphere": misc.texture_mapped_sphere,
+    "environment": misc.environment,
+    "cornell_box_obj": misc.cornell_box_obj,
+    "displacement_test": misc.displacement_test,
 }
+REGISTRY.update(extracted.CONSTRUCTORS)
 
 
 def get_scene(name: str, aspect: float = 1.0):

@@ -172,10 +172,19 @@ def _spectral_constant(msg: dict) -> st.SpectralTexture:
         )
     if "tabulated" in msg:
         t = msg["tabulated"]
-        return st.SpectralTabulated(
-            wavelengths=tuple(float(x) for x in _as_list(t.get("wavelengths"))),
-            values=tuple(float(x) for x in _as_list(t.get("values"))),
-        )
+        wl = [float(x) for x in _as_list(t.get("wavelengths"))]
+        vals = [float(x) for x in _as_list(t.get("values"))]
+        if len(wl) != len(vals):
+            # Some reference scene data ships ragged tables (e.g. water.go's
+            # white_light: 38 wavelengths, 39 values); truncate to the pair.
+            import warnings
+
+            warnings.warn(f"tabulated SPD length mismatch ({len(wl)} "
+                          f"wavelengths vs {len(vals)} values); truncating")
+            n = min(len(wl), len(vals))
+            wl, vals = wl[:n], vals[:n]
+        return st.SpectralTabulated(wavelengths=tuple(wl),
+                                    values=tuple(vals))
     if "neutral" in msg:
         return st.SpectralNeutral(
             value=float(msg["neutral"].get("reflectance", 0.0)))
@@ -185,6 +194,45 @@ def _spectral_constant(msg: dict) -> st.SpectralTexture:
         return st.SpectralTabulated(wavelengths=tuple(s.wavelengths),
                                     values=tuple(s.values))
     raise ValueError(f"empty spectral constant: {msg}")
+
+
+def _placeholder_image(filename: str) -> np.ndarray:
+    """Deterministic procedural stand-in for a missing texture file.
+
+    The reference's built-in scenes reference user-supplied asset files
+    (textures/rusty-metal_albedo.png, water_128b.png, …) that ship with
+    neither repo; the Go binary would simply fail to load them. We degrade
+    gracefully instead so every library scene renders out of the box. The
+    pattern is name-aware (normal maps get a flat +Z normal, roughness/
+    metalness get mid-gray, heightmaps get waves) and seeded by the filename
+    so renders stay deterministic.
+    """
+    name = os.path.basename(filename).lower()
+    n = 128
+    yy, xx = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                         indexing="ij")
+    if "normal" in name:
+        img = np.empty((n, n, 3), np.float64)
+        img[..., 0] = 0.5
+        img[..., 1] = 0.5
+        img[..., 2] = 1.0
+        return img
+    if "rough" in name:
+        return np.full((n, n, 3), 0.5, np.float64)
+    if "metal" in name:
+        return np.full((n, n, 3), 0.3, np.float64)
+    if "water" in name or "height" in name or "displace" in name:
+        h = 0.5 + 0.25 * np.sin(xx * 8 * np.pi) * np.cos(yy * 6 * np.pi)
+        h += 0.1 * np.sin((xx + yy) * 14 * np.pi)
+        return np.repeat(np.clip(h, 0, 1)[..., None], 3, axis=2)
+    # albedo / generic: two-tone checker tinted by a filename hash.
+    seed = sum(ord(c) for c in name) % 7
+    base = np.array([[0.6, 0.45, 0.35], [0.3, 0.5, 0.6], [0.5, 0.5, 0.5],
+                     [0.55, 0.35, 0.3], [0.35, 0.55, 0.4], [0.45, 0.4, 0.55],
+                     [0.6, 0.55, 0.4]][seed])
+    check = ((xx * 8).astype(int) + (yy * 8).astype(int)) % 2
+    img = np.where(check[..., None] == 0, base, base * 0.55)
+    return img
 
 
 class _SceneBuilder:
@@ -215,8 +263,16 @@ class _SceneBuilder:
             path = filename
             if not os.path.isabs(path):
                 path = os.path.join(self.container_dir, filename)
-            self._image_cache[filename] = st.ImageTexture(
-                data=output_mod.read_image(path))
+            if os.path.exists(path):
+                data = output_mod.read_image(path)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"texture file {filename!r} not found; using a "
+                    "deterministic procedural placeholder")
+                data = _placeholder_image(filename)
+            self._image_cache[filename] = st.ImageTexture(data=data)
         return self._image_cache[filename]
 
     def material(self, msg: dict) -> st.Material:
@@ -288,12 +344,40 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
     )
 
     # materials: map<string, Material> appears as repeated {key, value}.
+    # The reference keys converted materials by the Material's Name field,
+    # not the map key (transport.go:123 iterates values; lookups at :601 use
+    # triangle.GetMaterialName() against material.GetName()).
+    # Register under both so scenes where the two disagree still resolve
+    # (e.g. CornellBoxSpectral's map key "Rusty Metal" with a different
+    # Name field); name wins on conflict like the reference.
     materials: Dict[str, st.Material] = {}
     for entry in _as_list(tree.get("materials")):
-        key = entry.get("key") or entry.get("value", {}).get("name")
-        materials[key] = b.material(entry["value"])
+        mat = b.material(entry["value"])
+        if entry.get("key"):
+            materials[entry["key"]] = mat
+        name = entry.get("value", {}).get("name")
+        if name:
+            materials[name] = mat
 
     spectral = tree.get("colour_representation") == "SPECTRAL"
+
+    def lookup_material(name: str) -> st.Material:
+        """Resolve a material reference; undefined names get a neutral
+        Lambertian with a warning (the Go ToScene hard-errors at
+        transport.go:601-603, but reference scene data itself contains
+        dangling references, e.g. CornellBoxSpectral's "Rusty Metal")."""
+        if name not in materials:
+            import warnings
+
+            warnings.warn(f"material {name!r} not defined in scene; "
+                          "substituting a neutral Lambertian")
+            if spectral:
+                materials[name] = st.Lambertian(
+                    spectral_albedo=st.SpectralNeutral(value=0.5))
+            else:
+                materials[name] = st.Lambertian(
+                    albedo=st.ConstantTexture((0.5, 0.5, 0.5)))
+        return materials[name]
 
     world: List[st.Hitable] = []
     objs = tree.get("objects", {})
@@ -320,7 +404,7 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
         tris_vn.setdefault(key, []).append(vn)
 
     for (mat_name, has_vn, disp), verts in tris_v.items():
-        mat = materials[mat_name]
+        mat = lookup_material(mat_name)
         mesh = st.TriangleMesh(
             vertices=np.asarray(verts, np.float64),
             material=mat,
@@ -340,7 +424,7 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
         c = _vec3(sph.get("center"))
         world.append(st.Sphere(c, c, 0.0, 1.0,
                                float(sph.get("radius", 1.0)),
-                               materials[sph.get("material_name", "")]))
+                               lookup_material(sph.get("material_name", ""))))
 
     background = None
     if "spectral_background" in tree:
