@@ -26,11 +26,13 @@ def main():
     spp = 64
     settings = path_mod.RenderSettings(max_depth=50)
     scene = cornell_box(aspect=nx / ny)
+    ctx = renderer.RenderContext(scene)
 
     # Warmup with the exact timed configuration (spp is a static arg of the
     # jitted pool — a different spp would recompile inside the timed run).
-    renderer.render(scene, nx, ny, spp, settings=settings, seed=0)
-    res = renderer.render(scene, nx, ny, spp, settings=settings, seed=0)
+    renderer.render(None, nx, ny, spp, settings=settings, seed=0, context=ctx)
+    res = renderer.render(None, nx, ny, spp, settings=settings, seed=0,
+                          context=ctx)
 
     value = res.mrays_per_sec
     print(json.dumps({

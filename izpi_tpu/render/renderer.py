@@ -132,7 +132,45 @@ def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
     return cs, meta, intersect
 
 
-def render(scene: st.Scene, nx: int, ny: int, spp: int,
+class RenderContext:
+    """Compiled scene + a cache of jitted runners.
+
+    Re-running `render()` on a bare Scene re-traces and re-compiles the
+    wavefront loop every call (the runner closure captures fresh device
+    arrays). Callers that render the same scene repeatedly (benchmarks,
+    progressive/preview loops, the CLI's checkpoint chunks) build one
+    context and pass it to `render(context=...)` so the XLA executable is
+    reused — the analog of the reference building its scene/BVH once per
+    process (leader.go:111-115) rather than per tile."""
+
+    def __init__(self, scene: st.Scene, use_bvh: Optional[bool] = None,
+                 seed: int = 1):
+        self.cs, self.meta, self.intersect = prepare(scene, use_bvh=use_bvh,
+                                                     seed=seed)
+        self._runners = {}
+
+    def pool_runner(self, nx: int, ny: int, spectral: bool, bg_spd_id: int,
+                    settings: path_mod.RenderSettings):
+        cache_key = (nx, ny, spectral, bg_spd_id, settings)
+        run = self._runners.get(cache_key)
+        if run is None:
+            from izpi_tpu.integrator import wavefront
+
+            cs, meta, intersect = self.cs, self.meta, self.intersect
+
+            @partial(jax.jit, static_argnames=("n_spp", "pool"))
+            def run(key, n_spp, pool, sample_offset):
+                return wavefront.trace_pool(
+                    cs, meta, settings, intersect, nx, ny, n_spp, key, pool,
+                    spectral=spectral, bg_spd_id=bg_spd_id,
+                    sample_offset=sample_offset,
+                )
+
+            self._runners[cache_key] = run
+        return run
+
+
+def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
            settings: Optional[path_mod.RenderSettings] = None,
            seed: int = 0, use_bvh: Optional[bool] = None,
            row_chunk: Optional[int] = None,
@@ -143,6 +181,7 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
            checkpoint_path: Optional[str] = None,
            checkpoint_interval: int = 0,
            preview_path: Optional[str] = None,
+           context: Optional[RenderContext] = None,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
@@ -154,7 +193,9 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
     like the reference (leader.go:78-81).
     """
     settings = settings or path_mod.RenderSettings()
-    cs, meta, intersect = prepare(scene, use_bvh=use_bvh)
+    if context is None:
+        context = RenderContext(scene, use_bvh=use_bvh)
+    cs, meta, intersect = context.cs, context.meta, context.intersect
 
     if sampler_type in ("albedo", "normal", "wireframe"):
         return _render_aov(cs, meta, settings, intersect, nx, ny, spp, seed,
@@ -162,20 +203,11 @@ def render(scene: st.Scene, nx: int, ny: int, spp: int,
 
     spectral = meta.spectral or sampler_type == "spectral"
     if mode == "wavefront" or spectral:
-        from izpi_tpu.integrator import wavefront
-
         if pool_size is None:
             pool_size = min(nx * ny * spp, 1 << 16)
         base_key = rng.render_key(seed)
         bg_spd_id = meta.spectral_background_spd or 0
-
-        @partial(jax.jit, static_argnames=("n_spp", "pool"))
-        def run(key, n_spp, pool, sample_offset):
-            return wavefront.trace_pool(
-                cs, meta, settings, intersect, nx, ny, n_spp, key, pool,
-                spectral=spectral, bg_spd_id=bg_spd_id,
-                sample_offset=sample_offset,
-            )
+        run = context.pool_runner(nx, ny, spectral, bg_spd_id, settings)
 
         fingerprint = None
         if checkpoint_path:
