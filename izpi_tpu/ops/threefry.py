@@ -17,13 +17,14 @@ module is that keying evaluated on the VPU.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _ROT = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = np.uint32(0x1BD11BDA)  # numpy scalar: safe to close over in Pallas
 
 
 def _rotl(x, r: int):
-    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
 
 
 def threefry2x32(k0, k1, x0, x1):
@@ -42,7 +43,7 @@ def threefry2x32(k0, k1, x0, x1):
         if r % 4 == 3:
             j = r // 4 + 1  # key-schedule injection 1..5
             x0 = x0 + ks[j % 3]
-            x1 = x1 + ks[(j + 1) % 3] + jnp.uint32(j)
+            x1 = x1 + ks[(j + 1) % 3] + np.uint32(j)
     return x0, x1
 
 
@@ -58,8 +59,12 @@ def fold_in(k0, k1, data):
 
 def bits_to_uniform(bits):
     """uint32 → float32 in [0, 1), exactly like jax.random.uniform:
-    keep 23 mantissa bits, OR in the exponent of 1.0, subtract 1."""
-    f = ((bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)).view(jnp.float32)
+    keep 23 mantissa bits, OR in the exponent of 1.0, subtract 1.
+    (lax.bitcast_convert_type rather than .view so it works inside Pallas.)"""
+    import jax
+
+    f = jax.lax.bitcast_convert_type(
+        (bits >> np.uint32(9)) | np.uint32(0x3F800000), jnp.float32)
     return f - jnp.float32(1.0)
 
 

@@ -169,6 +169,27 @@ class RenderContext:
             self._runners[cache_key] = run
         return run
 
+    def mega_supported(self) -> bool:
+        from izpi_tpu.ops import megakernel
+
+        return megakernel.eligible(self.cs, self.meta)
+
+    def mega_runner(self, nx: int, ny: int, n_spp: int,
+                    settings: path_mod.RenderSettings,
+                    interpret: Optional[bool] = None):
+        """Pallas megakernel runner (ops.megakernel): whole pool loop in one
+        kernel, scene baked in as constants. Returns fn(key, offset)."""
+        cache_key = ("mega", nx, ny, n_spp, settings, interpret)
+        run = self._runners.get(cache_key)
+        if run is None:
+            from izpi_tpu.ops import megakernel
+
+            run = jax.jit(megakernel.build_renderer(
+                self.cs, self.meta, settings, nx, ny, n_spp,
+                interpret=interpret))
+            self._runners[cache_key] = run
+        return run
+
 
 def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
            settings: Optional[path_mod.RenderSettings] = None,
@@ -202,12 +223,29 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
                            sampler_type, ink)
 
     spectral = meta.spectral or sampler_type == "spectral"
-    if mode == "wavefront" or spectral:
+    # The Pallas megakernel is the fast path whenever the scene qualifies
+    # (ops.megakernel.eligible); mode="mega" forces it, mode="wavefront"
+    # auto-upgrades on TPU, and the XLA pool remains the fallback/oracle.
+    use_mega = not spectral and (
+        mode == "mega"
+        or (mode == "wavefront" and jax.default_backend() != "cpu"
+            and context.mega_supported())
+    )
+    if mode == "mega" and not context.mega_supported():
+        raise ValueError("scene not supported by the megakernel "
+                         "(media/PBR/image/noise or too many primitives)")
+    if use_mega or mode == "wavefront" or spectral:
         if pool_size is None:
             pool_size = min(nx * ny * spp, 1 << 16)
         base_key = rng.render_key(seed)
         bg_spd_id = meta.spectral_background_spd or 0
-        run = context.pool_runner(nx, ny, spectral, bg_spd_id, settings)
+        if use_mega:
+            def run(key, n_spp, pool, sample_offset,
+                    _ctx=context, _nx=nx, _ny=ny, _settings=settings):
+                mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings)
+                return mega(key, sample_offset)
+        else:
+            run = context.pool_runner(nx, ny, spectral, bg_spd_id, settings)
 
         fingerprint = None
         if checkpoint_path:
