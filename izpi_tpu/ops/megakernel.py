@@ -484,18 +484,21 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
         zf = jnp.zeros((tile_s, 128), jnp.float32)
         zi = jnp.zeros((tile_s, 128), jnp.int32)
 
+        # Loop carries are all i32/f32/u32: Mosaic fails to legalize
+        # scf.yield with vector<i1> operands in while/fori carries, so the
+        # live mask rides as int32 and is re-derived as bool per body.
         state0 = dict(
             o=o0, d=d0, tme=tme0, k0=k00, k1=k10,
             depth=zi, samp=zi,
             thru=(zf + 1.0, zf + 1.0, zf + 1.0),
             rad=(zf, zf, zf),
             acc=(zf, zf, zf),
-            cnt=zi, live=live0,
+            cnt=zi, live=live0.astype(jnp.int32),
         )
 
         def bounce(st):
             o, d, tme = st["o"], st["d"], st["tme"]
-            live = st["live"]
+            live = st["live"] != 0
             thru = st["thru"]
             rad = st["rad"]
             cnt = st["cnt"] + live.astype(jnp.int32)
@@ -669,14 +672,14 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
                 thru=_sel(issue, one3, thru),
                 rad=_sel(issue, (zf, zf, zf), rad),
                 acc=acc, cnt=cnt,
-                live=active | issue,
+                live=(active | issue).astype(jnp.int32),
             )
 
         def outer_body(st):
             return jax.lax.fori_loop(0, LOOP_CHUNK, lambda _, s: bounce(s),
                                      st)
 
-        final = jax.lax.while_loop(lambda st: jnp.any(st["live"]),
+        final = jax.lax.while_loop(lambda st: jnp.any(st["live"] != 0),
                                    outer_body, state0)
 
         acc_r_ref[:] = final["acc"][0]

@@ -241,9 +241,23 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
         bg_spd_id = meta.spectral_background_spd or 0
         if use_mega:
             def run(key, n_spp, pool, sample_offset,
-                    _ctx=context, _nx=nx, _ny=ny, _settings=settings):
-                mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings)
-                return mega(key, sample_offset)
+                    _ctx=context, _nx=nx, _ny=ny, _settings=settings,
+                    _spectral=spectral, _bg=bg_spd_id, _mode=mode):
+                if not getattr(_ctx, "_mega_broken", False):
+                    try:
+                        mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings)
+                        out = mega(key, sample_offset)
+                        jax.block_until_ready(out)
+                        return out
+                    except Exception:
+                        # Mosaic compile/runtime failure: permanently fall
+                        # back to the XLA wavefront pool for this context
+                        # (unless the caller demanded the megakernel).
+                        if _mode == "mega":
+                            raise
+                        _ctx._mega_broken = True
+                fb = _ctx.pool_runner(_nx, _ny, _spectral, _bg, _settings)
+                return fb(key, n_spp, pool, sample_offset)
         else:
             run = context.pool_runner(nx, ny, spectral, bg_spd_id, settings)
 
