@@ -252,9 +252,37 @@ def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1,
     )
 
 
-def validate(bvh: BVH4Arrays, p_count: int) -> list:
+def max_stack_occupancy(bvh: BVH4Arrays) -> int:
+    """Worst-case traversal stack occupancy (entries simultaneously live)
+    for the pop-one / push-all-hit-internal-children traversal of
+    accel.traverse. Visiting a child while r of its siblings are still
+    stacked costs r + occupancy(child); the adversarial pop order visits
+    the deepest child with the most siblings remaining, so
+    g(n) = max(k, max_i ((k-1-i) + g_desc[i])) with g_desc the children's
+    occupancies sorted descending and k the internal-child count. The
+    result bounds what the device can ever need."""
+    n_nodes = bvh.child.shape[0]
+    g = np.zeros(n_nodes, np.int64)
+    # Children always have larger node indices than their parent (the build
+    # emits BFS order), so a reverse sweep is a valid post-order.
+    for ni in range(n_nodes - 1, -1, -1):
+        kids = [int(bvh.child[ni, s]) for s in range(4)
+                if bvh.count[ni, s] == 0]
+        if not kids:
+            g[ni] = 1
+            continue
+        desc = sorted((int(g[c]) for c in kids), reverse=True)
+        k = len(desc)
+        g[ni] = max(k, max((k - 1 - i) + gi for i, gi in enumerate(desc)))
+    return int(g[0]) if n_nodes else 0
+
+
+def validate(bvh: BVH4Arrays, p_count: int,
+             stack_depth: Optional[int] = None) -> list:
     """Structural integrity check mirroring BVH4.validate (bvh4.go:399-466):
-    every primitive covered exactly once by the leaves, child indices sane."""
+    every primitive covered exactly once by the leaves, child indices sane,
+    and (when stack_depth is given) the worst-case traversal stack fits —
+    a pathological tree raises at build instead of silently losing hits."""
     errors = []
     covered = np.zeros(p_count, np.int32)
     n_nodes = bvh.child.shape[0]
@@ -265,7 +293,7 @@ def validate(bvh: BVH4Arrays, p_count: int) -> list:
             if cnt == -1:
                 continue
             if cnt == 0:
-                if not (0 <= ch < n_nodes):
+                if not (ni < ch < n_nodes):
                     errors.append(f"node {ni} slot {s}: bad child {ch}")
             else:
                 if ch < 0 or ch + cnt > p_count:
@@ -275,4 +303,10 @@ def validate(bvh: BVH4Arrays, p_count: int) -> list:
     bad = np.nonzero(covered != 1)[0]
     if bad.size:
         errors.append(f"{bad.size} prims not covered exactly once")
+    if stack_depth is not None and not errors:
+        occ = max_stack_occupancy(bvh)
+        if occ > stack_depth:
+            errors.append(
+                f"worst-case traversal stack {occ} exceeds device stack "
+                f"depth {stack_depth}")
     return errors

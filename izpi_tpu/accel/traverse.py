@@ -1,5 +1,8 @@
-"""Device-side BVH4 traversal (pure jnp; the Pallas kernel is layered on the
-same node layout).
+"""Device-side BVH4 traversal — pure-jnp gather form.
+
+This is the always-available XLA traversal; the Pallas traversal kernel
+(izpi_tpu.ops.bvh_kernel) consumes the same BVH4Arrays node layout and is
+differential-tested against this module.
 
 The reference traverses with a per-goroutine stack and a 4-wide SIMD slab
 test (bvh4.go:49-163, RayAABB4_SIMD). Here the whole ray batch traverses in
@@ -118,9 +121,9 @@ def intersect_bvh(prims: prim.Prims, bvh: BVH4Device, o, d, time,
                 t_best = jnp.where(better, t, t_best)
                 idx_best = jnp.where(better, pidx, idx_best)
 
-        # Internal slots: push (stack is deep enough for any collapsed
-        # binary tree of depth ≤ 2·STACK_DEPTH; overflow clamps, which can
-        # only lose hits in pathological trees — assert depth at build).
+        # Internal slots: push. Overflow cannot occur: bvh_build.validate()
+        # asserts the tree's worst-case stack occupancy fits STACK_DEPTH
+        # (checked at attach()), so the clamp below is never taken.
         for s in range(4):
             push = hitmask[:, s] & (count[:, s] == 0)
             slot = jnp.minimum(sp, STACK_DEPTH - 1)
@@ -157,7 +160,8 @@ def attach(cs, seed: int = 1):
     return (cs_reordered, intersect_fn). The build-time validation mirrors
     the reference's construction-time self-check (bvh4.go:535-545)."""
     arrays = bvh_build.build_bvh4(cs.prims, seed)
-    errors = bvh_build.validate(arrays, cs.prims.count)
+    errors = bvh_build.validate(arrays, cs.prims.count,
+                                stack_depth=STACK_DEPTH)
     if errors:
         raise AssertionError(f"BVH4 validation failed: {errors[:5]}")
     cs2 = cs._replace(prims=reorder_prims(cs.prims, arrays.prim_order))

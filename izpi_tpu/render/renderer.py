@@ -218,6 +218,14 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
         context = RenderContext(scene, use_bvh=use_bvh)
     cs, meta, intersect = context.cs, context.meta, context.intersect
 
+    if meta.placeholder_assets and not getattr(context, "_warned_assets", False):
+        import sys as _sys
+
+        print("NOTE: this render substitutes procedural placeholders for "
+              "missing assets:\n  " + "\n  ".join(meta.placeholder_assets),
+              file=_sys.stderr)
+        context._warned_assets = True
+
     if sampler_type in ("albedo", "normal", "wireframe"):
         return _render_aov(cs, meta, settings, intersect, nx, ny, spp, seed,
                            sampler_type, ink)
@@ -243,19 +251,33 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
             def run(key, n_spp, pool, sample_offset,
                     _ctx=context, _nx=nx, _ny=ny, _settings=settings,
                     _spectral=spectral, _bg=bg_spd_id, _mode=mode):
-                if not getattr(_ctx, "_mega_broken", False):
+                # Mosaic failures are keyed per runner shape: a failure on
+                # one (nx, ny, spp) — e.g. a small final chunk — must not
+                # kill the fast path for every other shape on this context.
+                broken = getattr(_ctx, "_mega_broken", None)
+                if broken is None:
+                    broken = _ctx._mega_broken = set()
+                mega_key = (_nx, _ny, n_spp, _settings)
+                if mega_key not in broken:
                     try:
                         mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings)
                         out = mega(key, sample_offset)
                         jax.block_until_ready(out)
                         return out
-                    except Exception:
-                        # Mosaic compile/runtime failure: permanently fall
-                        # back to the XLA wavefront pool for this context
-                        # (unless the caller demanded the megakernel).
+                    except Exception as exc:
+                        # Mosaic compile/runtime failure: fall back to the
+                        # XLA wavefront pool for this shape (unless the
+                        # caller demanded the megakernel) — noisily, so a
+                        # quiet permanent perf downgrade can't hide a bug.
                         if _mode == "mega":
                             raise
-                        _ctx._mega_broken = True
+                        import warnings
+
+                        warnings.warn(
+                            f"megakernel failed for shape {mega_key[:3]}; "
+                            f"falling back to the XLA wavefront pool: "
+                            f"{type(exc).__name__}: {exc}")
+                        broken.add(mega_key)
                 fb = _ctx.pool_runner(_nx, _ny, _spectral, _bg, _settings)
                 return fb(key, n_spp, pool, sample_offset)
         else:

@@ -79,6 +79,9 @@ class SceneMeta:
     has_pbr: bool = True
     n_media: int = 0
     media_is_sphere: tuple = ()
+    # Assets replaced by procedural placeholders at load (scene.pbtxt),
+    # surfaced in render output so substituted renders are unmistakable.
+    placeholder_assets: tuple = ()
 
 
 @dataclasses.dataclass
@@ -726,5 +729,6 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         has_pbr=any(r["kind"] == mat_tables.MAT_PBR for r in b.mat_rows),
         n_media=n_media,
         media_is_sphere=tuple(b.med_sphere),
+        placeholder_assets=tuple(scene.placeholder_assets),
     )
     return cs, meta

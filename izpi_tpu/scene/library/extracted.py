@@ -74,6 +74,9 @@ def cornell_box_pbr_stanford_dragon_spectral(
         tris = procedural.transform_mesh(
             tris, scale=25.0, rotate_y_deg=-60.0, translate=(50.0, 25.1, 60.0))
         scene.world.append(st.TriangleMesh(vertices=tris, material=porcelain))
+        scene.placeholder_assets.append(
+            "meshes/dragon_tri.obj (procedural ~871k-tri stand-in; "
+            "set IZPI_ASSET_DIR to use the real mesh)")
     return scene
 
 

@@ -239,6 +239,7 @@ class _SceneBuilder:
     def __init__(self, container_dir: str):
         self.container_dir = container_dir
         self._image_cache: Dict[str, st.ImageTexture] = {}
+        self.placeholder_assets: List[str] = []
 
     def texture(self, msg: Optional[dict]) -> Optional[st.Texture]:
         """Texture oneof (transport.proto:87-118)."""
@@ -271,6 +272,7 @@ class _SceneBuilder:
                 warnings.warn(
                     f"texture file {filename!r} not found; using a "
                     "deterministic procedural placeholder")
+                self.placeholder_assets.append(filename)
                 data = _placeholder_image(filename)
             self._image_cache[filename] = st.ImageTexture(data=data)
         return self._image_cache[filename]
@@ -435,7 +437,8 @@ def scene_from_tree(tree: Dict[str, Any], aspect: Optional[float] = None,
         )
 
     return st.Scene(world=world, camera=camera, spectral=spectral,
-                    spectral_background=background)
+                    spectral_background=background,
+                    placeholder_assets=list(b.placeholder_assets))
 
 
 def load_scene(path: str, aspect: Optional[float] = None) -> st.Scene:

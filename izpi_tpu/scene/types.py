@@ -382,6 +382,10 @@ class Scene:
     spectral: bool = False
     # Spectral background SPD (scene-level, for spectral renders).
     spectral_background: Optional[object] = None
+    # Asset files replaced with deterministic procedural placeholders
+    # (missing textures/meshes) — surfaced in render output so a placeholder
+    # render cannot masquerade as the reference scene.
+    placeholder_assets: List[str] = field(default_factory=list)
 
     def emitters(self) -> List[Hitable]:
         if self.lights is not None:

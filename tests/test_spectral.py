@@ -61,3 +61,36 @@ def test_firefly_keeps_legit_bright_region():
     xyz[2:5, 2:5] = 10.0
     out = convert.firefly_rejection(xyz)
     assert out[3, 3, 1] == 10.0
+
+
+def test_light_source_library_full_42_name_parity():
+    """Every SPD name of internal/lightsources/lightsources.go resolves
+    (39 tabulated + 3 blackbody-synthesized at lightsources.go:217-223),
+    and nothing extra exists."""
+    from izpi_tpu.spectral import lightsources
+
+    expected = {
+        "cie_f10_narrowband_5000k", "cie_f11_narrowband_4000k",
+        "cie_f12_narrowband_3000k", "cie_f1_daylight_fluorescent",
+        "cie_f2_cool_white_fluorescent", "cie_f3_white_fluorescent",
+        "cie_f4_warm_white_fluorescent", "cie_f5_daylight_fluorescent",
+        "cie_f6_lite_white_fluorescent", "cie_f7_broadband_daylight",
+        "cie_f8_broadband_cool_white", "cie_f9_broadband_cool_white_deluxe",
+        "cie_illuminant_a_2856k", "cm_acuity_evo_4",
+        "cm_edison_price_lumenetix", "cm_intense_mxrtr2", "cm_lumenetix",
+        "cm_pathway_lexel", "halogen_3200k", "hps_c100s54_standard",
+        "hps_cie238", "hps_sdw_t_100w", "hy_cree_llf_tm_30_90",
+        "hy_cree_module", "hy_cree_par38", "hy_ge_lumination",
+        "hy_ngl_47_tm_30_92", "incandescent_2800k",
+        "incandescent_60w_a19_real", "incandescent_halogen_real",
+        "incandescent_krypton_real", "laser_red_650nm", "pc_current_ge",
+        "pc_green_creative_mr16", "pc_maxled", "pc_ngl_124_tm_30_194",
+        "pc_ngl_308_tm_30_231", "pc_samjin", "pc_seoul_sunlike_3030",
+        "pc_soraa_mr16_830", "pcv_soraa_prem_2700_k_tm_30_294",
+        "pcv_soraa_vivid_2700_k_tm_30_296",
+    }
+    assert len(expected) == 42
+    assert set(lightsources.list_light_sources()) == expected
+    for name in expected:
+        s = lightsources.get_light_source(name)
+        assert float(np.max(s.values)) > 0.0
