@@ -1,46 +1,87 @@
-"""Benchmark: Cornell box (BASELINE config #1) on the current device.
+"""Benchmark: the five BASELINE config scenes on the current device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per scene, then ONE aggregate line (the driver parses
+the LAST line): {"metric", "value", "unit", "vs_baseline"}. The aggregate is
+the geometric mean of the five Mrays/s numbers.
 
-vs_baseline is measured against the driver's aggregate target of 1 Grays/s on
-a v5e-8 (BASELINE.md), i.e. 125 Mrays/s per chip — the reference publishes no
-throughput numbers and no Go toolchain exists in this image to measure its
+vs_baseline is measured against the driver's aggregate target of 1 Grays/s
+on a v5e-8 (BASELINE.md), i.e. 125 Mrays/s per chip — the reference publishes
+no throughput numbers and no Go toolchain exists in this image to measure its
 binary (BASELINE.md: "the Go binary itself is the measurement baseline").
+
+Engines exercised per config:
+  cornell          — RGB Pallas megakernel (ops.megakernel)
+  shirley          — XLA wavefront pool + MXU brute intersector
+  dragon           — wavefront pool + Pallas BVH4 traversal (ops.bvh_kernel)
+  pbr_ibl          — wavefront pool (PBR + image textures)
+  spectral_pyramid — spectral Pallas megakernel (ops.megakernel_spectral)
 """
 
 from __future__ import annotations
 
 import json
+import math
 import sys
-import time
 
 PER_CHIP_TARGET_MRAYS = 125.0
 
+# (name, scene constructor name, nx, ny, spp, max_depth, sampler)
+CONFIGS = [
+    ("cornell", "cornell_box", 256, 256, 64, 50, "colour"),
+    ("shirley", "random_scene", 256, 256, 16, 50, "colour"),
+    ("dragon", "cornell_box_pbr_stanford_dragon_spectral",
+     256, 256, 8, 16, "colour"),
+    ("pbr_ibl", "pbr_ibl", 128, 128, 8, 16, "colour"),
+    ("spectral_pyramid", "cornell_box_pyramid_spectral",
+     500, 500, 16, 50, "spectral"),
+]
 
-def main():
+
+def run_config(name, scene_name, nx, ny, spp, depth, sampler):
     from izpi_tpu.integrator import path as path_mod
     from izpi_tpu.render import renderer
-    from izpi_tpu.scene.library.cornell import cornell_box
+    from izpi_tpu.scene.library import get_scene
 
-    nx = ny = 256
-    spp = 64
-    settings = path_mod.RenderSettings(max_depth=50)
-    scene = cornell_box(aspect=nx / ny)
+    scene = get_scene(scene_name, aspect=nx / ny)
+    settings = path_mod.RenderSettings(max_depth=depth)
     ctx = renderer.RenderContext(scene)
+    kwargs = dict(settings=settings, seed=0, context=ctx,
+                  sampler_type=sampler)
+    renderer.render(None, nx, ny, spp, **kwargs)  # warmup/compile
+    res = renderer.render(None, nx, ny, spp, **kwargs)
+    return res.mrays_per_sec
 
-    # Warmup with the exact timed configuration (spp is a static arg of the
-    # jitted pool — a different spp would recompile inside the timed run).
-    renderer.render(None, nx, ny, spp, settings=settings, seed=0, context=ctx)
-    res = renderer.render(None, nx, ny, spp, settings=settings, seed=0,
-                          context=ctx)
 
-    value = res.mrays_per_sec
-    print(json.dumps({
-        "metric": "cornell_256x256_64spp_mrays_per_sec",
-        "value": round(value, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(value / PER_CHIP_TARGET_MRAYS, 4),
-    }))
+def main():
+    only = sys.argv[1:] or None
+    results = {}
+    for name, scene_name, nx, ny, spp, depth, sampler in CONFIGS:
+        if only and name not in only:
+            continue
+        try:
+            m = run_config(name, scene_name, nx, ny, spp, depth, sampler)
+        except Exception as exc:  # noqa: BLE001 — emit the failure, keep going
+            print(json.dumps({"metric": f"{name}_mrays_per_sec",
+                              "error": f"{type(exc).__name__}: {exc}"[:200]}),
+                  flush=True)
+            continue
+        results[name] = m
+        print(json.dumps({
+            "metric": f"{name}_mrays_per_sec",
+            "value": round(m, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(m / PER_CHIP_TARGET_MRAYS, 4),
+        }), flush=True)
+
+    if results:
+        geo = math.exp(sum(math.log(max(v, 1e-9)) for v in results.values())
+                       / len(results))
+        print(json.dumps({
+            "metric": f"baseline_{len(results)}_scene_geomean_mrays_per_sec",
+            "value": round(geo, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(geo / PER_CHIP_TARGET_MRAYS, 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":

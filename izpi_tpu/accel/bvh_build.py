@@ -109,10 +109,10 @@ class _BinNode:
     right: int = -1
 
 
-def _build_binary(bb_min, bb_max, seed: int):
+def _build_binary(bb_min, bb_max, seed: int, leaf_size: int = LEAF_SIZE):
     """Binary median-split BVH over primitive indices (bvh4.go:596-652):
     random split axis, sort segment by centroid, split at the median,
-    leaves hold ≤ LEAF_SIZE primitives. Iterative with an explicit stack."""
+    leaves hold ≤ leaf_size primitives. Iterative with an explicit stack."""
     p_count = bb_min.shape[0]
     centroids = (bb_min + bb_max) * 0.5
     order = np.arange(p_count, dtype=np.int64)
@@ -130,7 +130,7 @@ def _build_binary(bb_min, bb_max, seed: int):
     while stack:
         ni, lo, hi = stack.pop()
         n = hi - lo
-        if n <= LEAF_SIZE:
+        if n <= leaf_size:
             nodes[ni].start = lo
             nodes[ni].count = n
             continue
@@ -162,26 +162,28 @@ def _conservative_f32(bb_min, bb_max):
     return lo, hi
 
 
-def build_bvh4(prims, seed: int = 1) -> BVH4Arrays:
+def build_bvh4(prims, seed: int = 1, leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
     """Build the flat BVH4 from a compiled primitive SoA (host arrays)."""
     bb_min, bb_max = prim_bounds(prims)
-    return build_bvh4_from_bounds(bb_min, bb_max, seed)
+    return build_bvh4_from_bounds(bb_min, bb_max, seed, leaf_size=leaf_size)
 
 
 def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1,
-                           use_native: Optional[bool] = None) -> BVH4Arrays:
+                           use_native: Optional[bool] = None,
+                           leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
     if use_native is None:
         use_native = True
     if use_native:
         from izpi_tpu.accel import native
 
         result = native.build(np.ascontiguousarray(bb_min),
-                              np.ascontiguousarray(bb_max), seed)
+                              np.ascontiguousarray(bb_max), seed,
+                              leaf_size=leaf_size)
         if result is not None:
             bounds, child, count, order = result
             return BVH4Arrays(bounds=bounds, child=child, count=count,
                               prim_order=order)
-    nodes, order = _build_binary(bb_min, bb_max, seed)
+    nodes, order = _build_binary(bb_min, bb_max, seed, leaf_size=leaf_size)
 
     # Collapse: each BVH4 node's slots are the binary node's grandchildren
     # (bvh4.go:714-792 collectChildren). A binary child that is a leaf (or

@@ -20,7 +20,6 @@
 
 namespace {
 
-constexpr int kLeafSize = 4;
 
 // fastrandom defaults (fastrandom.go:7-11).
 struct Lcg {
@@ -87,8 +86,9 @@ extern "C" int64_t izpi_build_bvh4(
     int32_t* out_child,   // capacity max_nodes * 4
     int32_t* out_count,   // capacity max_nodes * 4
     int32_t* prim_order,  // capacity n_prims
-    int64_t max_nodes) {
-  if (n_prims <= 0) return -1;
+    int64_t max_nodes, int64_t leaf_size) {
+  if (n_prims <= 0 || leaf_size <= 0) return -1;
+  const int64_t kLeafSize = leaf_size;
 
   Builder b;
   b.bb_min = bb_min;

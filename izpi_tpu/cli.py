@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--role", default="standalone",
                    choices=["standalone", "leader", "worker"])
+    p.add_argument("--coordinator", default=None,
+                   help="leader address host:port for multi-host rendering "
+                        "(jax.distributed); leader and workers all pass the "
+                        "same address")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for multi-host rendering")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank (leader = 0)")
     p.add_argument("--num-workers", type=int, default=0,
                    help="devices to use (0 = all)")
     p.add_argument("--profile-dir", default=None,
@@ -76,10 +84,23 @@ def main(argv=None) -> int:
     settings = path_mod.RenderSettings(max_depth=args.max_depth,
                                        background=bg)
 
-    if args.role in ("leader", "worker"):
-        print("distributed roles map to jax.distributed multi-host launches;"
-              " run one process per host — see izpi_tpu/parallel/dist.py",
-              file=sys.stderr)
+    distributed = args.role in ("leader", "worker")
+    if distributed:
+        # Multi-host: one process per host joins the cluster (the TPU-native
+        # replacement for mDNS discovery + the gRPC setup handshake,
+        # leader/setup.go:22-131). leader = process 0.
+        from izpi_tpu.parallel import dist
+
+        pid = args.process_id
+        if pid is None:
+            pid = 0 if args.role == "leader" else None
+        n_proc = dist.initialize_multihost(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes, process_id=pid)
+        if args.verbose:
+            print(f"joined cluster: {n_proc} processes, "
+                  f"{len(__import__('jax').devices())} devices",
+                  file=sys.stderr)
 
     profile_ctx = None
     if args.profile_dir:
@@ -90,14 +111,22 @@ def main(argv=None) -> int:
         profile_ctx.__enter__()
 
     t0 = time.time()
-    res = renderer.render(
-        scene, args.x, args.y, args.samples, settings=settings,
-        seed=args.seed, sampler_type=args.sampler, ink=ink,
-        checkpoint_path=args.checkpoint,
-        checkpoint_interval=args.checkpoint_interval,
-        preview_path=args.preview,
-        verbose=args.verbose,
-    )
+    if distributed:
+        from izpi_tpu.parallel import dist
+
+        mesh = dist.make_mesh(args.num_workers or None)
+        res = dist.render_distributed(
+            scene, args.x, args.y, args.samples, mesh=mesh,
+            settings=settings, seed=args.seed, sampler_type=args.sampler)
+    else:
+        res = renderer.render(
+            scene, args.x, args.y, args.samples, settings=settings,
+            seed=args.seed, sampler_type=args.sampler, ink=ink,
+            checkpoint_path=args.checkpoint,
+            checkpoint_interval=args.checkpoint_interval,
+            preview_path=args.preview,
+            verbose=args.verbose,
+        )
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
 

@@ -328,14 +328,26 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
                                           us[:, 3])
     diel_att = jnp.ones((n, 3), jnp.float32)
     if meta.has_absorbing_dielectric:
-        # Beer–Lambert with exit re-trace (dielectric.go:118-153).
+        # Beer–Lambert with exit re-trace (dielectric.go:118-153). The
+        # second traversal is the bounce's single most expensive op on big
+        # scenes, so it only runs when some live ray actually refracted
+        # into an absorbing dielectric this bounce.
+        apply = active & is_diel & mat["has_absorption"] & ~is_refl
         start = rec.p + 1e-3 * d_diel
-        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
-        path_len = vm.length(exit_rec.p - rec.p)
+
+        def _trace_exit(_):
+            exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
+            return exit_rec.p, exit_rec.hit
+
+        def _skip(_):
+            return start, jnp.zeros(n, bool)
+
+        exit_p, exit_hit = jax.lax.cond(jnp.any(apply), _trace_exit, _skip,
+                                        None)
+        path_len = vm.length(exit_p - rec.p)
         path_len = jnp.clip(path_len, 0.1, 100.0)
-        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
+        path_len = jnp.where(exit_hit, path_len, 10.0)
         absorbed = jnp.exp(-mat["absorption"] * path_len[:, None])
-        apply = mat["has_absorption"] & ~is_refl
         diel_att = jnp.where(apply[:, None], absorbed, diel_att)
 
     # ---- PBR (gated: compiled out of PBR-free scenes) ----
@@ -470,16 +482,27 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     d_diel, is_refl = _dielectric_scatter(d, rec.normal, eta, us[:, 3])
     diel_att = jnp.ones_like(thru)
     if meta.has_absorbing_dielectric:
-        # Spectral Beer–Lambert (dielectric.go:104-115, 190-199).
+        # Spectral Beer–Lambert (dielectric.go:104-115, 190-199); the exit
+        # re-trace only runs when some live ray refracted into an absorbing
+        # dielectric (see bounce_rgb).
+        apply = active & is_diel & (mat["spec_absorb_id"] >= 0) & ~is_refl
         start = rec.p + 1e-3 * d_diel
-        exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
-        path_len = vm.length(exit_rec.p - rec.p)
+
+        def _trace_exit(_):
+            exit_rec = intersect(start, d_diel, time, 0.0, 1000.0)
+            return exit_rec.p, exit_rec.hit
+
+        def _skip(_):
+            return start, jnp.zeros_like(is_refl)
+
+        exit_p, exit_hit = jax.lax.cond(jnp.any(apply), _trace_exit, _skip,
+                                        None)
+        path_len = vm.length(exit_p - rec.p)
         path_len = jnp.clip(path_len, 0.1, 100.0)
-        path_len = jnp.where(exit_rec.hit, path_len, 10.0)
+        path_len = jnp.where(exit_hit, path_len, 10.0)
         alpha = spd_mod.device_spd_value(
             cs.spd_table, jnp.maximum(mat["spec_absorb_id"], 0), lam)
         absorbed = jnp.exp(-alpha * path_len)
-        apply = (mat["spec_absorb_id"] >= 0) & ~is_refl
         diel_att = jnp.where(apply, absorbed, diel_att)
 
     if meta.has_pbr:

@@ -71,18 +71,23 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
     issued0 = init_ids < total
     o0, d0, t0, keys0, pix0, lam0, lpdf0 = sample_to_ray(init_ids, issued0)
 
-    rad0 = jnp.zeros(n, jnp.float32) if spectral else jnp.zeros((n, 3),
-                                                                jnp.float32)
-    thru0 = jnp.ones(n, jnp.float32) if spectral else jnp.ones((n, 3),
-                                                               jnp.float32)
+    # Carry inits derived from the ray arrays so every carry has the
+    # varying-manual-axes type under shard_map (sample_offset is
+    # device-varying in the distributed pool; a plain-constant carry would
+    # fail the while_loop carry type check — see primitives.intersect_brute).
+    zf = t0 * 0.0          # (n,) varying zero
+    zs = jnp.sum(zf)       # ()  varying zero
+    rad0 = zf if spectral else zf[:, None] + jnp.zeros(3, jnp.float32)
+    thru0 = rad0 + 1.0
     state0 = dict(
-        o=o0, d=d0, time=t0, keys=keys0, pix=pix0, lam=lam0, lam_pdf=lpdf0,
-        depth=jnp.zeros(n, jnp.int32),
+        o=o0, d=d0, time=t0, keys=keys0,
+        pix=pix0 + zf.astype(jnp.int32), lam=lam0, lam_pdf=lpdf0,
+        depth=zf.astype(jnp.int32),
         thru=thru0, rad=rad0,
-        active=issued0,
-        next_sample=jnp.int32(min(n, total)),
-        acc=jnp.zeros((n_pix, 3), jnp.float32),
-        nrays=jnp.int32(0),
+        active=issued0 & (zf == 0.0),
+        next_sample=jnp.int32(min(n, total)) + zs.astype(jnp.int32),
+        acc=jnp.zeros((n_pix, 3), jnp.float32) + zs,
+        nrays=zs.astype(jnp.int32),
     )
 
     def cond(st):
@@ -116,7 +121,12 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
         if spectral:
             x, y, z = cie.get_cie_values(st["lam"])
             xyz = jnp.stack([x, y, z], axis=-1)
-            contrib = xyz * (rad / st["lam_pdf"])[:, None]
+            # pdf(λ)=0 only when u drew exactly 0 and landed on CIE_Y[0]=0
+            # — a measure-zero event the reference divides into Inf
+            # (render/spectral.go:95); zeroing it keeps the estimator
+            # unbiased and the canvas finite for firefly rejection.
+            w = jnp.where(st["lam_pdf"] > 0.0, rad / st["lam_pdf"], 0.0)
+            contrib = xyz * w[:, None]
         else:
             contrib = vm.de_nan(rad)
         acc = st["acc"].at[st["pix"]].add(

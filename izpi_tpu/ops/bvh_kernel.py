@@ -1,0 +1,523 @@
+"""Pallas BVH4 traversal kernel — the device-side answer to the reference's
+hottest code path (internal/hitable/bvh4.go:49-163 stack traversal +
+bvh4_simd_amd64.go:27-110 RayAABB4 SIMD 4-wide slab test).
+
+TPU-first design (NOT a port of the per-ray recursive traversal):
+
+- Each grid program owns a TILE of TS×128 rays that traverse TOGETHER with
+  ONE shared stack in SMEM: a pop loads one BVH4 node, the 4-wide slab test
+  runs vectorized across every lane of the tile (the RayAABB4 kernel batched
+  over 1024 rays instead of 1), and a child is visited iff ANY lane hits it.
+  This replaces divergent per-ray stacks — which a lockstep vector machine
+  cannot express profitably — with speculative union traversal, and recovers
+  coherence by sorting rays (octant + origin Morton code) before the kernel.
+- The node table (bounds 24×f32 + child/count 8×i32 per node, the same SoA
+  layout as bvh4.go:23-39 built by accel.bvh_build) lives VMEM-resident for
+  the kernel's whole lifetime: node loads are on-chip dynamic row slices, not
+  HBM gathers.
+- Leaves are CONTIGUOUS runs of `leaf_size` primitives (the build reorders
+  primitives, bvh4.go:586-590); a leaf visit DMAs one (leaf_size, 16)-f32
+  primitive block HBM→VMEM — a dense contiguous copy, the memory access
+  pattern TPUs are actually good at — and tests every lane against every
+  primitive in the block. Testing lanes whose slab test missed is free
+  correctness-wise (the per-lane t-window rejects them) and keeps the VPU
+  fully occupied.
+- t_best/idx_best live in VMEM scratch and shrink monotonically, narrowing
+  later slab tests exactly like the reference's tMax shrink (bvh4.go:130).
+
+The kernel returns (t, prim_idx) per ray; shading attributes are gathered on
+the XLA side by geometry.primitives.finalize_hit, so the kernel composes with
+the wavefront pool as a drop-in IntersectFn. Differential-tested against
+intersect_brute and the jnp traversal (tests/test_bvh_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from izpi_tpu.accel import bvh_build
+from izpi_tpu.geometry import primitives as prim
+
+TS = 8                 # sublanes per ray tile → 8×128 = 1024 rays/program
+KSTACK = 64            # shared-stack depth; validated at build
+KERNEL_LEAF = 16       # primitives per leaf block (one DMA)
+
+
+def _block_rows() -> int:
+    """128-lane rows per leaf block: KERNEL_LEAF prims × 16 f32."""
+    return KERNEL_LEAF * 16 // 128
+T_EPS = 1e-30
+
+
+class KernelScene(NamedTuple):
+    bounds: jax.Array    # (Nn, 24) f32 — node slab SoA
+    cc: jax.Array        # (Nn, 8) i32 — child[4] (leaf: block id) + count[4]
+    pblocks: jax.Array   # (Nb*2, 128) f32 — one (2,128) block per leaf:
+                         #   16 prims × 16 floats (g0,g1,g2,g3,kind,pad³)
+    blockmap: jax.Array  # (Nb*16,) i32 — block slot → prim index (-1 = pad)
+
+
+def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays) -> KernelScene:
+    """Device tables from a built BVH over REORDERED primitives.
+
+    Every leaf gets its own 16-prim block so the kernel's leaf fetch is a
+    (2, 128) lane-aligned DMA at a static shape — Mosaic cannot slice
+    sub-128 lane widths out of HBM. Blocks are padded with KIND_NONE rows
+    (never hit); `blockmap` recovers real primitive indices afterwards."""
+    g0 = np.asarray(prims.g0, np.float32)
+    g1 = np.asarray(prims.g1, np.float32)
+    g2 = np.asarray(prims.g2, np.float32)
+    g3 = np.asarray(prims.g3, np.float32)
+    kind = np.asarray(prims.kind, np.float32)
+
+    child = np.array(bvh.child, np.int32)
+    count = np.array(bvh.count, np.int32)
+    leaf_mask = count > 0
+    leaf_nodes, leaf_slots = np.nonzero(leaf_mask)
+    n_blocks = max(len(leaf_nodes), 1)
+
+    rows = np.zeros((n_blocks, KERNEL_LEAF, 16), np.float32)
+    rows[:, :, 12] = float(prim.KIND_NONE)
+    blockmap = np.full((n_blocks * KERNEL_LEAF,), -1, np.int32)
+    for b, (ni, s) in enumerate(zip(leaf_nodes, leaf_slots)):
+        start, cnt = int(child[ni, s]), int(count[ni, s])
+        sl = slice(start, start + cnt)
+        rows[b, :cnt, 0:3] = g0[sl]
+        rows[b, :cnt, 3:6] = g1[sl]
+        rows[b, :cnt, 6:9] = g2[sl]
+        rows[b, :cnt, 9:12] = g3[sl]
+        rows[b, :cnt, 12] = kind[sl]
+        # Block-level triangle-only flag (prim 0, field 15): selects the
+        # cheap Möller–Trumbore-only leaf test in the kernel.
+        if np.all(kind[sl] == float(prim.KIND_TRIANGLE)):
+            rows[b, 0, 15] = 1.0
+        blockmap[b * KERNEL_LEAF: b * KERNEL_LEAF + cnt] = np.arange(
+            start, start + cnt)
+        child[ni, s] = b  # leaf child now indexes its block
+
+    cc = np.concatenate([child, count], axis=1).astype(np.int32)
+    return KernelScene(
+        bounds=jnp.asarray(bvh.bounds),
+        cc=jnp.asarray(cc),
+        pblocks=jnp.asarray(rows.reshape(n_blocks * _block_rows(), 128)),
+        blockmap=jnp.asarray(blockmap),
+    )
+
+
+def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
+                     bounds_ref, cc_ref,     # VMEM node tables
+                     ptab_ref,               # ANY (HBM) primitive table
+                     ox, oy, oz, dx, dy, dz, tm,  # VMEM (TS,128) ray planes
+                     t_out, idx_out,         # VMEM (TS,128) outputs
+                     stack_ref, t_ref, i_ref, pblk, sems,
+                     *, n_rays: int, tile: int):
+    g = pl.program_id(0)
+    t_min = limits_ref[0, 0]
+    t_max = limits_ref[0, 1]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 1)
+    slot = g * tile + row * 128 + col
+    valid = slot < n_rays
+
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    time = tm[:]
+    big = jnp.float32(3.0e38)
+    inv = tuple(1.0 / jnp.where(dc == 0.0, T_EPS, dc) for dc in d)
+
+    # Dead (padding) lanes get an empty t-window so they never hit and never
+    # force node visits.
+    t_ref[:] = jnp.where(valid, jnp.minimum(t_max, big), t_min)
+    i_ref[:] = jnp.full((TS, 128), -1, jnp.int32)
+    stack_ref[0] = 0
+
+    br = _block_rows()
+
+    def leaf_dma(block, buf):
+        return pltpu.make_async_copy(
+            ptab_ref.at[pl.ds(block * br, br), :],
+            pblk.at[buf], sems.at[buf])
+
+    def _tri_only_test(buf, base):
+        """All-triangle leaf block: Möller–Trumbore only — the common case
+        for meshes, ~3× cheaper than the generic mixed-kind test. KIND_NONE
+        padding rows are all-zero, which makes MT degenerate (a == 0 →
+        parallel → miss), so no extra masking is needed."""
+        t_best = t_ref[:]
+        idx_best = i_ref[:]
+
+        def fld(k, c):
+            flat = k * 16 + c
+            return pblk[buf, flat // 128, flat % 128]
+
+        for k in range(KERNEL_LEAF):
+            g0 = (fld(k, 0), fld(k, 1), fld(k, 2))
+            g1 = (fld(k, 3), fld(k, 4), fld(k, 5))
+            g2 = (fld(k, 6), fld(k, 7), fld(k, 8))
+            hx = d[1] * g2[2] - d[2] * g2[1]
+            hy = d[2] * g2[0] - d[0] * g2[2]
+            hz = d[0] * g2[1] - d[1] * g2[0]
+            a = g1[0] * hx + g1[1] * hy + g1[2] * hz
+            parallel = jnp.abs(a) < prim.MT_EPS
+            f = 1.0 / jnp.where(parallel, 1.0, a)
+            sx, sy, sz = o[0] - g0[0], o[1] - g0[1], o[2] - g0[2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * g1[2] - sz * g1[1]
+            qy = sz * g1[0] - sx * g1[2]
+            qz = sx * g1[1] - sy * g1[0]
+            v = f * (d[0] * qx + d[1] * qy + d[2] * qz)
+            t_k = f * (g2[0] * qx + g2[1] * qy + g2[2] * qz)
+            eps = prim.MT_EPS
+            ok_k = ((~parallel)
+                    & (u >= -eps) & (u <= 1.0 + eps)
+                    & (v >= -eps) & (u + v <= 1.0 + eps))
+            better = ok_k & (t_k > t_min) & (t_k < t_best)
+            t_best = jnp.where(better, t_k, t_best)
+            idx_best = jnp.where(better, base + k, idx_best)
+        t_ref[:] = t_best
+        i_ref[:] = idx_best
+
+    def _generic_test(buf, base):
+        """Mixed-kind leaf block: triangle/rect/sphere tagged tests.
+        Rows are real (reordered) primitives or KIND_NONE padding, so
+        testing beyond the leaf's own count is correctness-neutral — the
+        per-lane [t_min, t_best) window is the only guard that matters."""
+        t_best = t_ref[:]
+        idx_best = i_ref[:]
+
+        def fld(k, c):
+            flat = k * 16 + c
+            return pblk[buf, flat // 128, flat % 128]
+
+        for k in range(KERNEL_LEAF):
+            g0 = (fld(k, 0), fld(k, 1), fld(k, 2))
+            g1 = (fld(k, 3), fld(k, 4), fld(k, 5))
+            g2 = (fld(k, 6), fld(k, 7), fld(k, 8))
+            g3 = (fld(k, 9), fld(k, 10), fld(k, 11))
+            kind = fld(k, 12)
+
+            # --- triangle: Möller–Trumbore (triangle.go:193-231) ---
+            hx = d[1] * g2[2] - d[2] * g2[1]
+            hy = d[2] * g2[0] - d[0] * g2[2]
+            hz = d[0] * g2[1] - d[1] * g2[0]
+            a = g1[0] * hx + g1[1] * hy + g1[2] * hz
+            parallel = jnp.abs(a) < prim.MT_EPS
+            f = 1.0 / jnp.where(parallel, 1.0, a)
+            sx, sy, sz = o[0] - g0[0], o[1] - g0[1], o[2] - g0[2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * g1[2] - sz * g1[1]
+            qy = sz * g1[0] - sx * g1[2]
+            qz = sx * g1[1] - sy * g1[0]
+            v = f * (d[0] * qx + d[1] * qy + d[2] * qz)
+            t_tri = f * (g2[0] * qx + g2[1] * qy + g2[2] * qz)
+            eps = prim.MT_EPS
+            ok_tri = ((~parallel)
+                      & (u >= -eps) & (u <= 1.0 + eps)
+                      & (v >= -eps) & (u + v <= 1.0 + eps))
+
+            # --- rect: plane + parametric inside (xyrect.go family) ---
+            denom = d[0] * g3[0] + d[1] * g3[1] + d[2] * g3[2]
+            degen = denom == 0.0
+            t_rect = ((g0[0] - o[0]) * g3[0] + (g0[1] - o[1]) * g3[1]
+                      + (g0[2] - o[2]) * g3[2]) / jnp.where(degen, 1.0, denom)
+            px = o[0] + t_rect * d[0] - g0[0]
+            py = o[1] + t_rect * d[1] - g0[1]
+            pz = o[2] + t_rect * d[2] - g0[2]
+            ee1 = g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2]
+            ee2 = g2[0] * g2[0] + g2[1] * g2[1] + g2[2] * g2[2]
+            ru = (px * g1[0] + py * g1[1] + pz * g1[2]) / jnp.where(
+                ee1 == 0.0, 1.0, ee1)
+            rv = (px * g2[0] + py * g2[1] + pz * g2[2]) / jnp.where(
+                ee2 == 0.0, 1.0, ee2)
+            ok_rect = ((~degen) & (ru >= 0.0) & (ru <= 1.0)
+                       & (rv >= 0.0) & (rv <= 1.0))
+
+            # --- sphere: quadratic w/ moving center (sphere.go:70-127) ---
+            radius = g2[0]
+            st0, st1 = g2[1], g2[2]
+            sden = st1 - st0
+            frac = jnp.where(sden == 0.0, 0.0,
+                             (time - st0) / jnp.where(sden == 0.0, 1.0, sden))
+            cx = g0[0] + frac * (g1[0] - g0[0])
+            cy = g0[1] + frac * (g1[1] - g0[1])
+            cz = g0[2] + frac * (g1[2] - g0[2])
+            ocx, ocy, ocz = o[0] - cx, o[1] - cy, o[2] - cz
+            qa = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            qb = ocx * d[0] + ocy * d[1] + ocz * d[2]
+            qc = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+            disc = qb * qb - qa * qc
+            has = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            qa_safe = jnp.where(qa == 0.0, 1.0, qa)
+            t_near = (-qb - sq) / qa_safe
+            t_far = (-qb + sq) / qa_safe
+            # reference root selection vs the CURRENT per-lane window
+            near_ok = has & (t_near < t_best) & (t_near > t_min)
+            far_ok = has & (t_far < t_best) & (t_far > t_min) & ~near_ok
+            t_sph = jnp.where(near_ok, t_near, t_far)
+            ok_sph = near_ok | far_ok
+
+            is_tri = kind == float(prim.KIND_TRIANGLE)
+            is_rect = kind == float(prim.KIND_RECT)
+            is_sph = kind == float(prim.KIND_SPHERE)
+            t_k = jnp.where(is_tri, t_tri, jnp.where(is_rect, t_rect, t_sph))
+            ok_k = ((is_tri & ok_tri) | (is_rect & ok_rect)
+                    | (is_sph & ok_sph))
+            better = ok_k & (t_k > t_min) & (t_k < t_best)
+            t_best = jnp.where(better, t_k, t_best)
+            idx_best = jnp.where(better, base + k, idx_best)
+        t_ref[:] = t_best
+        i_ref[:] = idx_best
+
+    def prim_block_test(buf, base):
+        tri_only = pblk[buf, 0, 15] > 0.5
+
+        @pl.when(tri_only)
+        def _():
+            _tri_only_test(buf, base)
+
+        @pl.when(~tri_only)
+        def _():
+            _generic_test(buf, base)
+
+    def body(sp):
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        brow = bounds_ref[pl.ds(node, 1), :]
+        cc = cc_ref[pl.ds(node, 1), :]
+        t_best = t_ref[:]
+        big32 = jnp.float32(3.0e38)
+
+        # 4-wide slab test, vectorized over the whole tile (the RayAABB4
+        # kernel of bvh4_simd_*.go batched over TS×128 rays). tn_min — the
+        # nearest entry distance over the tile — drives near-first ordering.
+        anyhits = []
+        tnmins = []
+        for s in range(4):
+            tn = jnp.full((TS, 128), t_min, jnp.float32)
+            tf = t_best
+            for ax in range(3):
+                lo = brow[0, ax * 4 + s]
+                hi = brow[0, 12 + ax * 4 + s]
+                t0 = (lo - o[ax]) * inv[ax]
+                t1 = (hi - o[ax]) * inv[ax]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hit_s = tf > tn
+            anyhits.append(jnp.max(jnp.where(hit_s, 1, 0)) > 0)
+            tnmins.append(jnp.min(jnp.where(hit_s, tn, big32)))
+
+        # Leaf slots: kick off all DMAs, then test (overlap copy with test).
+        leaf_flags = []
+        for s in range(4):
+            cnt = cc[0, 4 + s]
+            is_leaf = anyhits[s] & (cnt > 0)
+            leaf_flags.append(is_leaf)
+
+            @pl.when(is_leaf)
+            def _(s=s):
+                leaf_dma(cc[0, s], s).start()
+
+        for s in range(4):
+            @pl.when(leaf_flags[s])
+            def _(s=s):
+                leaf_dma(cc[0, s], s).wait()
+                prim_block_test(s, cc[0, s] * KERNEL_LEAF)
+
+        # Internal slots: push NEAR-FIRST (farthest pushed first so the
+        # nearest child pops next — the union analog of the reference's
+        # visit-first-hit-child-immediately, bvh4.go:103-121). A 4-element
+        # sorting network orders (tn, child, push) tuples descending by tn.
+        items = []
+        for s in range(4):
+            push = anyhits[s] & (cc[0, 4 + s] == 0)
+            items.append((tnmins[s], cc[0, s], push.astype(jnp.int32)))
+
+        def cmp_exchange(a, b):
+            swap = items[a][0] < items[b][0]
+
+            def pick(x, y):
+                return jnp.where(swap, y, x)
+
+            ia, ib = items[a], items[b]
+            items[a] = (pick(ia[0], ib[0]), pick(ia[1], ib[1]),
+                        pick(ia[2], ib[2]))
+            items[b] = (pick(ib[0], ia[0]), pick(ib[1], ia[1]),
+                        pick(ib[2], ia[2]))
+
+        for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            cmp_exchange(a, b)
+
+        # Writes at (sp + off) only touch dead slots; off advances only on
+        # a real push, so a later push overwrites a non-push's dead write.
+        off = jnp.int32(0)
+        for s in range(4):
+            _tn, child, push = items[s]
+            stack_ref[sp + off] = jnp.where(push != 0, child, 0)
+            off = off + push
+        return sp + off
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    t_out[:] = t_ref[:]
+    idx_out[:] = jnp.where(i_ref[:] >= 0, i_ref[:], -1)
+
+
+def build_traverse_fn(ks: KernelScene, n_rays: int,
+                      interpret: bool | None = None):
+    """Returns fn(o, d, time, t_min, t_max) -> (t (N,), idx (N,) i32).
+    N == n_rays (static); o, d: (N, 3)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tile = TS * 128
+    n_grid = -(-n_rays // tile)
+    n_pad = n_grid * tile
+
+    nodes_bytes = (ks.bounds.size + ks.cc.size) * 4
+    vmem_limit = min(int(nodes_bytes * 1.25) + (1 << 21), 128 << 20)
+
+    ray_spec = pl.BlockSpec((TS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_traverse_kernel, n_rays=n_rays, tile=tile),
+        grid=(n_grid,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bounds
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cc
+            # The prim table must stay in HBM: leaf blocks are DMA'd on
+            # demand, and a VMEM placement would impose 128-lane tiling on
+            # the (·, 16) rows (Mosaic slice-alignment failure) — besides
+            # not fitting for dragon-scale scenes.
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ptable
+        ] + [ray_spec] * 7,
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((KSTACK,), jnp.int32),
+            pltpu.VMEM((TS, 128), jnp.float32),
+            pltpu.VMEM((TS, 128), jnp.int32),
+            pltpu.VMEM((4, _block_rows(), 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )
+
+    def plane(x):
+        return jnp.pad(x, (0, n_pad - n_rays)).reshape(n_grid * TS, 128)
+
+    def run(o, d, time, t_min, t_max):
+        limits = jnp.stack(
+            [jnp.asarray(t_min, jnp.float32).reshape(()),
+             jnp.minimum(jnp.asarray(t_max, jnp.float32).reshape(()),
+                         prim.T_MAX)]).reshape(1, 2)
+        args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+                plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+                plane(time)]
+        t, idx = call(limits, ks.bounds, ks.cc, ks.pblocks, *args)
+        t = t.reshape(-1)[:n_rays]
+        idx = idx.reshape(-1)[:n_rays]
+        # Block slot → primitive index (padding slots never win a hit).
+        idx = jnp.where(idx >= 0, ks.blockmap[jnp.maximum(idx, 0)], -1)
+        return t, idx
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Ray sorting: union traversal thrives on coherence. Key = direction octant
+# (3 bits) + 5-bit-per-axis Morton code of the origin inside the scene AABB.
+# --------------------------------------------------------------------------
+
+
+def _morton5(x):
+    """Interleave 3×5-bit ints (values 0..31) into a 15-bit Morton code."""
+    def spread(v):
+        v = (v | (v << 8)) & 0x100F
+        v = (v | (v << 4)) & 0x10C3
+        v = (v | (v << 2)) & 0x1249
+        return v
+    return spread(x[0]) | (spread(x[1]) << 1) | (spread(x[2]) << 2)
+
+
+def sort_keys(o, d, lo, hi):
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    span = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(((o - lo[None, :]) / span[None, :] * 32.0)
+                    .astype(jnp.int32), 0, 31)
+    m = _morton5((cell[:, 0], cell[:, 1], cell[:, 2]))
+    return (octant << 15) | m
+
+
+class BVHKernelIntersector:
+    """IntersectFn backed by the Pallas traversal kernel.
+
+    Rays are sorted by coherence key, traversed, and the hits unsorted;
+    shading attributes come from finalize_hit on the XLA side. The traverse
+    fn is cached per ray-batch size (shapes are static under jit).
+    """
+
+    def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
+                 sort: bool = True, interpret: bool | None = None):
+        self.cs = cs
+        self.ks = ks
+        self.lo = jnp.asarray(scene_lo, jnp.float32)
+        self.hi = jnp.asarray(scene_hi, jnp.float32)
+        self.sort = sort
+        self.interpret = interpret
+        self._fns = {}
+
+    def _fn(self, n):
+        fn = self._fns.get(n)
+        if fn is None:
+            fn = build_traverse_fn(self.ks, n, interpret=self.interpret)
+            self._fns[n] = fn
+        return fn
+
+    def __call__(self, o, d, time, t_min, t_max):
+        n = o.shape[0]
+        fn = self._fn(n)
+        if self.sort and n >= 2048:
+            keys = sort_keys(o, d, self.lo, self.hi)
+            order = jnp.argsort(keys)
+            inv = jnp.argsort(order)
+            t, idx = fn(o[order], d[order], time[order], t_min, t_max)
+            t, idx = t[inv], idx[inv]
+        else:
+            t, idx = fn(o, d, time, t_min, t_max)
+        hit = idx >= 0
+        return prim.finalize_hit(self.cs.prims, o, d, time, t, idx, hit)
+
+
+def attach(cs, seed: int = 1, sort: bool = True,
+           interpret: bool | None = None):
+    """Build a leaf-16 BVH4, reorder the scene's primitives, and return
+    (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
+    with the kernel's wide leaves."""
+    from izpi_tpu.accel import traverse
+
+    arrays = bvh_build.build_bvh4(cs.prims, seed, leaf_size=KERNEL_LEAF)
+    errors = bvh_build.validate(arrays, cs.prims.count, stack_depth=KSTACK)
+    if errors:
+        raise AssertionError(f"BVH4 validation failed: {errors[:5]}")
+    cs2 = cs._replace(prims=traverse.reorder_prims(cs.prims,
+                                                   arrays.prim_order))
+    ks = pack_scene(cs2.prims, arrays)
+    bb_min, bb_max = bvh_build.prim_bounds(cs2.prims)
+    inter = BVHKernelIntersector(
+        cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
+        sort=sort, interpret=interpret)
+    return cs2, inter

@@ -4,8 +4,13 @@ Replaces the reference's entire distribution stack (gRPC leader/worker tile
 streaming, mDNS discovery, asset streaming — internal/leader, internal/worker,
 internal/transport; SURVEY.md §2.6) with the TPU-native design:
 
-- image pixels (izpi's tiles) are sharded over the mesh axis 'tiles' — the
-  data-parallel axis of this workload,
+- work is sharded over the mesh axis 'tiles' — the data-parallel axis. The
+  production path (`render_distributed`) shards SAMPLES: every device runs
+  the same persistent-pool wavefront over the whole frame on a disjoint
+  sample range (sample_offset = device_index·spp_local) and the canvases
+  psum at the end — one (n_pix, 3) all-reduce over ICI replaces the
+  reference's per-row gRPC streaming (render/remote.go:31-44). The simple
+  lockstep sampler keeps the pixel-sharded variant as an oracle,
 - the compiled scene is replicated to every device (the analog of each worker
   fetching the whole scene and building its own BVH, worker/setup.go:155-388),
 - the ray counter is a psum (the analog of RenderEnd stats collection,
@@ -13,9 +18,11 @@ internal/transport; SURVEY.md §2.6) with the TPU-native design:
 - the differentiable path all-reduces parameter gradients over ICI
   (jax.grad over shard_map inserts the psum automatically).
 
-Multi-host: run one process per host with jax.distributed.initialize();
-jax.devices() then spans the pod slice and the same mesh code scales — no
-bespoke RPC layer exists or is needed.
+Multi-host: `initialize_multihost` wraps jax.distributed.initialize();
+run one process per host (cli.py --role leader/worker with --coordinator)
+and jax.devices() spans the pod slice — the same mesh code scales with the
+canvas psum riding ICI within a slice and DCN across slices. No bespoke RPC
+layer (leader/worker/assetprovider/discovery in the reference) is needed.
 """
 
 from __future__ import annotations
@@ -43,6 +50,25 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (TILE_AXIS,))
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Join (or form) a multi-host cluster — the TPU-native replacement for
+    the reference's mDNS discovery + gRPC setup handshake
+    (discovery/discovery.go, leader/setup.go:22-131). On GKE/Cloud-TPU the
+    arguments auto-detect from the environment; on bare hosts pass the
+    leader's address and this process's rank. Returns the process count."""
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count()
 
 
 def _pad_to(x, n, fill=0):
@@ -86,35 +112,109 @@ def build_sharded_sampler(cs, meta, settings, intersect, nx, ny, mesh: Mesh):
     return run
 
 
+def build_pool_renderer(cs, meta, settings, intersect, nx: int, ny: int,
+                        mesh: Mesh, spp_local: int,
+                        spectral: bool = False,
+                        pool_size: int = 1 << 16):
+    """Sample-sharded production renderer: every device runs the persistent
+    wavefront pool (integrator.wavefront.trace_pool) over the WHOLE frame on
+    its own sample range, then the canvases and ray counters all-reduce.
+
+    Returns jitted fn(key) -> (acc (n_pix, 3) summed radiance — RGB or XYZ,
+    rays ()); divide acc by n_dev·spp_local for the image."""
+    from izpi_tpu.integrator import wavefront
+
+    bg_spd_id = meta.spectral_background_spd or 0
+    pool = min(pool_size, nx * ny * spp_local)
+
+    def shard_body(cs_rep, key):
+        dev = jax.lax.axis_index(TILE_AXIS)
+        acc, nrays = wavefront.trace_pool(
+            cs_rep, meta, settings, intersect, nx, ny, spp_local, key, pool,
+            spectral=spectral, bg_spd_id=bg_spd_id,
+            sample_offset=dev * spp_local,
+        )
+        # One canvas all-reduce replaces the reference's row streaming
+        # (render/remote.go:46-89); counter psum = RenderEnd stats.
+        return (jax.lax.psum(acc, TILE_AXIS),
+                jax.lax.psum(nrays, TILE_AXIS))
+
+    @jax.jit
+    def run(key):
+        fn = shard_map(shard_body, mesh=mesh,
+                       in_specs=(P(), P()), out_specs=(P(), P()))
+        return fn(cs, key)
+
+    return run
+
+
 def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
                        mesh: Optional[Mesh] = None,
                        settings: Optional[path_mod.RenderSettings] = None,
-                       seed: int = 0) -> renderer_mod.RenderResult:
-    """Whole-image render with pixels sharded across the mesh."""
+                       seed: int = 0,
+                       sampler_type: str = "colour",
+                       context=None) -> renderer_mod.RenderResult:
+    """Whole-image render with samples sharded across the mesh (the
+    wavefront pool on every device; spectral supported)."""
     import time as time_mod
 
     settings = settings or path_mod.RenderSettings()
     mesh = mesh or make_mesh()
-    cs, meta, intersect = renderer_mod.prepare(scene)
+    if context is None:
+        context = renderer_mod.RenderContext(scene)
+    cs, meta, intersect = context.cs, context.meta, context.intersect
     n_dev = mesh.devices.size
+    if spp % n_dev:
+        raise ValueError(f"spp {spp} must divide evenly over {n_dev} devices")
+    spectral = meta.spectral or sampler_type == "spectral"
 
-    ys = jnp.repeat(jnp.arange(ny, dtype=jnp.int32), nx)
-    xs = jnp.tile(jnp.arange(nx, dtype=jnp.int32), ny)
-    xs, pad = _pad_to(xs, n_dev)
-    ys, _ = _pad_to(ys, n_dev)
-
-    run = build_sharded_sampler(cs, meta, settings, intersect, nx, ny, mesh)
+    run = build_pool_renderer(cs, meta, settings, intersect, nx, ny, mesh,
+                              spp // n_dev, spectral=spectral)
+    key = rng.render_key(seed)
+    acc, rays = run(key)  # compile + run
+    jax.block_until_ready(acc)
     t0 = time_mod.perf_counter()
-    color, rays = run(xs, ys, rng.render_key(seed), spp)
-    color = np.asarray(color)
+    acc, rays = run(key)
+    acc = np.asarray(acc)
     seconds = time_mod.perf_counter() - t0
 
-    if pad:
-        color = color[:-pad]
-    image = color.reshape(ny, nx, 3)[::-1]
+    canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
+    if spectral:
+        from izpi_tpu.spectral import convert
+
+        xyz = convert.firefly_rejection(canvas.astype(np.float64))
+        image = convert.xyz_to_acescg(xyz, meta.exposure).astype(np.float32)
+        return renderer_mod.RenderResult(
+            image=image, rays_traced=int(rays), seconds=seconds,
+            xyz=xyz.astype(np.float32))
     return renderer_mod.RenderResult(
-        image=image, rays_traced=int(rays), seconds=seconds
-    )
+        image=canvas, rays_traced=int(rays), seconds=seconds)
+
+
+def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,
+                       device_counts=None, seed: int = 0,
+                       settings: Optional[path_mod.RenderSettings] = None):
+    """Rays/s at 1..N devices with the production (pool) renderer — the
+    BASELINE scaling harness (target ≥0.9 efficiency 1→N). Returns
+    {n_devices: {"mrays": .., "efficiency": ..}}. On a CPU-emulated mesh
+    the absolute numbers are meaningless but the collective structure and
+    work division are the real ones."""
+    if device_counts is None:
+        n = len(jax.devices())
+        device_counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n]
+    out = {}
+    base = None
+    context = renderer_mod.RenderContext(scene)
+    for c in device_counts:
+        mesh = make_mesh(c)
+        res = render_distributed(scene, nx, ny, spp, mesh=mesh, seed=seed,
+                                 settings=settings, context=context)
+        m = res.mrays_per_sec
+        if base is None:
+            base = m
+        out[c] = {"mrays": round(m, 3),
+                  "efficiency": round(m / (base * c), 4)}
+    return out
 
 
 # ---------------------------------------------------------------------------

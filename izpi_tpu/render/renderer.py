@@ -119,6 +119,15 @@ def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
     if use_bvh is None:
         use_bvh = meta.n_prims > BVH_THRESHOLD
     if use_bvh:
+        if jax.default_backend() != "cpu":
+            # Pallas union-traversal kernel: VMEM-resident nodes, DMA'd
+            # leaf blocks (ops.bvh_kernel) — the only path that scales to
+            # dragon-class meshes on TPU (the jnp gather traversal is kept
+            # as the CPU/test path and correctness oracle).
+            from izpi_tpu.ops import bvh_kernel
+
+            cs, intersect = bvh_kernel.attach(cs, seed=seed)
+            return cs, meta, intersect
         from izpi_tpu.accel import traverse
 
         cs, intersect = traverse.attach(cs, seed=seed)
@@ -169,22 +178,31 @@ class RenderContext:
             self._runners[cache_key] = run
         return run
 
-    def mega_supported(self) -> bool:
+    def mega_supported(self, spectral: bool = False) -> bool:
+        if spectral:
+            from izpi_tpu.ops import megakernel_spectral
+
+            return megakernel_spectral.eligible(self.cs, self.meta)
         from izpi_tpu.ops import megakernel
 
         return megakernel.eligible(self.cs, self.meta)
 
     def mega_runner(self, nx: int, ny: int, n_spp: int,
                     settings: path_mod.RenderSettings,
-                    interpret: Optional[bool] = None):
-        """Pallas megakernel runner (ops.megakernel): whole pool loop in one
-        kernel, scene baked in as constants. Returns fn(key, offset)."""
-        cache_key = ("mega", nx, ny, n_spp, settings, interpret)
+                    interpret: Optional[bool] = None,
+                    spectral: bool = False):
+        """Pallas megakernel runner (ops.megakernel / megakernel_spectral):
+        whole pool loop in one kernel, scene baked in as constants.
+        Returns fn(key, offset)."""
+        cache_key = ("mega", nx, ny, n_spp, settings, interpret, spectral)
         run = self._runners.get(cache_key)
         if run is None:
-            from izpi_tpu.ops import megakernel
+            if spectral:
+                from izpi_tpu.ops import megakernel_spectral as mk
+            else:
+                from izpi_tpu.ops import megakernel as mk
 
-            run = jax.jit(megakernel.build_renderer(
+            run = jax.jit(mk.build_renderer(
                 self.cs, self.meta, settings, nx, ny, n_spp,
                 interpret=interpret))
             self._runners[cache_key] = run
@@ -232,14 +250,15 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
 
     spectral = meta.spectral or sampler_type == "spectral"
     # The Pallas megakernel is the fast path whenever the scene qualifies
-    # (ops.megakernel.eligible); mode="mega" forces it, mode="wavefront"
-    # auto-upgrades on TPU, and the XLA pool remains the fallback/oracle.
-    use_mega = not spectral and (
+    # (ops.megakernel.eligible / megakernel_spectral.eligible); mode="mega"
+    # forces it, mode="wavefront" auto-upgrades on TPU, and the XLA pool
+    # remains the fallback/oracle.
+    use_mega = (
         mode == "mega"
         or (mode == "wavefront" and jax.default_backend() != "cpu"
-            and context.mega_supported())
+            and context.mega_supported(spectral=spectral))
     )
-    if mode == "mega" and not context.mega_supported():
+    if mode == "mega" and not context.mega_supported(spectral=spectral):
         raise ValueError("scene not supported by the megakernel "
                          "(media/PBR/image/noise or too many primitives)")
     if use_mega or mode == "wavefront" or spectral:
@@ -257,10 +276,11 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
                 broken = getattr(_ctx, "_mega_broken", None)
                 if broken is None:
                     broken = _ctx._mega_broken = set()
-                mega_key = (_nx, _ny, n_spp, _settings)
+                mega_key = (_nx, _ny, n_spp, _settings, _spectral)
                 if mega_key not in broken:
                     try:
-                        mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings)
+                        mega = _ctx.mega_runner(_nx, _ny, n_spp, _settings,
+                                                spectral=_spectral)
                         out = mega(key, sample_offset)
                         jax.block_until_ready(out)
                         return out

@@ -24,6 +24,7 @@ REGISTRY = {
     "final": shirley.final,
     "texture_mapped_sphere": misc.texture_mapped_sphere,
     "environment": misc.environment,
+    "pbr_ibl": misc.pbr_ibl,
     "cornell_box_obj": misc.cornell_box_obj,
     "displacement_test": misc.displacement_test,
 }

@@ -175,3 +175,42 @@ def displacement_test(aspect: float = 1.0) -> st.Scene:
     camera = st.Camera(look_from=(278.0, 278.0, -800.0),
                        look_at=(278.0, 278.0, 0.0), vfov=40.0, aspect=aspect)
     return st.Scene(world=world, camera=camera)
+
+
+def pbr_ibl(aspect: float = 1.0) -> st.Scene:
+    """BASELINE config #4: PBR-textured spheres lit by an HDRI sky dome —
+    the reference's PBR showcase (internal/scenes/pbr.go PBR boxes) combined
+    with the IBL environment (scenes.go:233). Texture maps come from assets
+    when IZPI_ASSET_DIR provides them, else deterministic procedural maps."""
+    rng = np.random.RandomState(42)
+
+    def tex_map(lo, hi, h=128, w=128, channels=3):
+        return st.ImageTexture(
+            data=(lo + (hi - lo) * rng.rand(h, w, channels)).astype(
+                np.float64))
+
+    sky = _asset("decor_shop_4k.hdr")
+    if sky:
+        from izpi_tpu.io import output as output_mod
+
+        sky_img = output_mod.read_image(sky)
+    else:
+        sky_img = _procedural_sky()
+    dome = st.FlipNormals(st.Sphere(
+        (0, 0, 0), (0, 0, 0), 0, 1, 100,
+        st.DiffuseLight(emit=st.ImageTexture(data=sky_img))))
+
+    world = [dome]
+    for i, (x, rough_hi, metal_hi) in enumerate(
+            [(-9.0, 0.3, 1.0), (0.0, 0.8, 0.2), (9.0, 0.5, 0.6)]):
+        world.append(st.Sphere(
+            (x, 0.0, 0.0), (x, 0.0, 0.0), 0, 1, 4,
+            st.PBR(albedo=tex_map(0.2, 0.9),
+                   roughness=tex_map(0.05, rough_hi),
+                   metalness=tex_map(0.0, metal_hi),
+                   normal_map=st.ImageTexture(
+                       data=np.tile(np.array([0.5, 0.5, 1.0]),
+                                    (128, 128, 1)).astype(np.float64)))))
+    camera = st.Camera(look_from=(0.0, 4.0, 22.0), look_at=(0.0, 0.0, 0.0),
+                       vfov=45.0, aspect=aspect)
+    return st.Scene(world=world, camera=camera)

@@ -17,14 +17,40 @@ from izpi_tpu.scene.library.cornell import cornell_box
 def test_distributed_matches_single_device():
     scene = cornell_box()
     settings = path_mod.RenderSettings(max_depth=4)
-    single = renderer.render(scene, 16, 16, 4, settings=settings, seed=11)
+    single = renderer.render(scene, 16, 16, 8, settings=settings, seed=11)
     mesh = dist.make_mesh(8)
-    multi = dist.render_distributed(scene, 16, 16, 4, mesh=mesh,
+    multi = dist.render_distributed(scene, 16, 16, 8, mesh=mesh,
                                     settings=settings, seed=11)
-    # Same seeds, same per-pixel keys → identical estimates regardless of
-    # which device traced which pixel.
-    np.testing.assert_allclose(single.image, multi.image, atol=1e-5)
+    # Same seed → same (pixel, sample) keys; sample-sharding only reorders
+    # the per-sample summation, so estimates agree to fp accumulation.
+    np.testing.assert_allclose(single.image, multi.image, atol=1e-4,
+                               rtol=1e-4)
     assert multi.rays_traced == single.rays_traced
+
+
+def test_distributed_spectral():
+    from izpi_tpu.scene.library.cornell_spectral import cornell_box_spectral
+
+    scene = cornell_box_spectral()
+    settings = path_mod.RenderSettings(max_depth=4)
+    mesh = dist.make_mesh(4)
+    multi = dist.render_distributed(scene, 8, 8, 8, mesh=mesh,
+                                    settings=settings, seed=3)
+    single = renderer.render(scene, 8, 8, 8, settings=settings, seed=3,
+                             sampler_type="spectral")
+    assert multi.xyz is not None
+    np.testing.assert_allclose(multi.image, single.image, atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_scaling_harness_runs():
+    scene = cornell_box()
+    settings = path_mod.RenderSettings(max_depth=3)
+    out = dist.scaling_efficiency(scene, 8, 8, 8, device_counts=[1, 2],
+                                  settings=settings)
+    assert set(out) == {1, 2}
+    assert out[1]["efficiency"] == 1.0
+    assert out[2]["mrays"] > 0
 
 
 def test_graft_entry_contracts():
