@@ -25,25 +25,29 @@ import sys
 
 PER_CHIP_TARGET_MRAYS = 125.0
 
-# (name, scene constructor name, nx, ny, spp, max_depth, sampler)
+# (name, scene constructor name, nx, ny, spp, max_depth, sampler, background)
 CONFIGS = [
-    ("cornell", "cornell_box", 256, 256, 64, 50, "colour"),
-    ("shirley", "random_scene", 256, 256, 16, 50, "colour"),
+    ("cornell", "cornell_box", 256, 256, 64, 50, "colour", (0, 0, 0)),
+    # the Shirley scene has no emitters; the book's sky gradient is the
+    # renderer background flag in izpi (black by default)
+    ("shirley", "random_scene", 256, 256, 16, 50, "colour",
+     (0.7, 0.8, 1.0)),
     ("dragon", "cornell_box_pbr_stanford_dragon_spectral",
-     256, 256, 8, 16, "colour"),
-    ("pbr_ibl", "pbr_ibl", 128, 128, 8, 16, "colour"),
+     256, 256, 8, 16, "colour", (0, 0, 0)),
+    ("pbr_ibl", "pbr_ibl", 128, 128, 8, 16, "colour", (0, 0, 0)),
     ("spectral_pyramid", "cornell_box_pyramid_spectral",
-     500, 500, 16, 50, "spectral"),
+     500, 500, 16, 50, "spectral", (0, 0, 0)),
 ]
 
 
-def run_config(name, scene_name, nx, ny, spp, depth, sampler):
+def run_config(name, scene_name, nx, ny, spp, depth, sampler, background):
     from izpi_tpu.integrator import path as path_mod
     from izpi_tpu.render import renderer
     from izpi_tpu.scene.library import get_scene
 
     scene = get_scene(scene_name, aspect=nx / ny)
-    settings = path_mod.RenderSettings(max_depth=depth)
+    settings = path_mod.RenderSettings(max_depth=depth,
+                                       background=tuple(background))
     ctx = renderer.RenderContext(scene)
     kwargs = dict(settings=settings, seed=0, context=ctx,
                   sampler_type=sampler)
@@ -55,11 +59,11 @@ def run_config(name, scene_name, nx, ny, spp, depth, sampler):
 def main():
     only = sys.argv[1:] or None
     results = {}
-    for name, scene_name, nx, ny, spp, depth, sampler in CONFIGS:
+    for name, scene_name, nx, ny, spp, depth, sampler, bg in CONFIGS:
         if only and name not in only:
             continue
         try:
-            m = run_config(name, scene_name, nx, ny, spp, depth, sampler)
+            m = run_config(name, scene_name, nx, ny, spp, depth, sampler, bg)
         except Exception as exc:  # noqa: BLE001 — emit the failure, keep going
             print(json.dumps({"metric": f"{name}_mrays_per_sec",
                               "error": f"{type(exc).__name__}: {exc}"[:200]}),

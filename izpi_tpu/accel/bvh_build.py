@@ -151,6 +151,102 @@ def _build_binary(bb_min, bb_max, seed: int, leaf_size: int = LEAF_SIZE):
     return nodes, order
 
 
+def _build_binary_sah(bb_min, bb_max, leaf_size: int = LEAF_SIZE,
+                      n_bins: int = 16):
+    """Binned-SAH binary BVH (deterministic, no RNG) — the quality build for
+    the Pallas traversal kernel. The reference's median/random-axis build
+    (kept in _build_binary for topology parity) produces ~2-3× more node
+    visits per ray; since the traversal RESULT is tree-independent, the
+    kernel is free to use the better tree.
+
+    Split choice: for each axis, `n_bins` equal centroid bins; cost =
+    SA_L·N_L + SA_R·N_R; best (axis, bin) wins, centroid-median fallback
+    when binning degenerates. Splitting continues while n > leaf_size.
+    """
+    p_count = bb_min.shape[0]
+    centroids = (bb_min + bb_max) * 0.5
+    order = np.arange(p_count, dtype=np.int64)
+    nodes: list[_BinNode] = []
+
+    def seg_bounds(lo, hi):
+        idx = order[lo:hi]
+        return bb_min[idx].min(axis=0), bb_max[idx].max(axis=0)
+
+    def half_area(lo3, hi3):
+        d = np.maximum(hi3 - lo3, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    nodes.append(_BinNode(*seg_bounds(0, p_count)))
+    stack = [(0, 0, p_count)]
+    while stack:
+        ni, lo, hi = stack.pop()
+        n = hi - lo
+        if n <= leaf_size:
+            nodes[ni].start = lo
+            nodes[ni].count = n
+            continue
+        seg = order[lo:hi]
+        cen = centroids[seg]
+        cmin = cen.min(axis=0)
+        cmax = cen.max(axis=0)
+        best = None  # (cost, axis, bin_edge_value)
+        for axis in range(3):
+            extent = cmax[axis] - cmin[axis]
+            if extent <= 0.0:
+                continue
+            scale = n_bins / extent
+            bins = np.minimum(((cen[:, axis] - cmin[axis]) * scale)
+                              .astype(np.int64), n_bins - 1)
+            counts = np.bincount(bins, minlength=n_bins)
+            # per-bin bounds, then prefix/suffix sweeps
+            b_lo = np.full((n_bins, 3), np.inf)
+            b_hi = np.full((n_bins, 3), -np.inf)
+            for b in range(n_bins):
+                m = bins == b
+                if counts[b]:
+                    b_lo[b] = bb_min[seg[m]].min(axis=0)
+                    b_hi[b] = bb_max[seg[m]].max(axis=0)
+            l_lo = np.minimum.accumulate(b_lo, axis=0)
+            l_hi = np.maximum.accumulate(b_hi, axis=0)
+            r_lo = np.minimum.accumulate(b_lo[::-1], axis=0)[::-1]
+            r_hi = np.maximum.accumulate(b_hi[::-1], axis=0)[::-1]
+            n_l = np.cumsum(counts)
+            for b in range(n_bins - 1):
+                nl, nr = n_l[b], n - n_l[b]
+                if nl == 0 or nr == 0:
+                    continue
+                cost = (half_area(l_lo[b], l_hi[b]) * nl
+                        + half_area(r_lo[b + 1], r_hi[b + 1]) * nr)
+                if best is None or cost < best[0]:
+                    edge = cmin[axis] + (b + 1) / scale
+                    best = (cost, axis, edge, nl)
+        mid = None
+        if best is not None:
+            _, axis, edge, _nl = best
+            left_mask = centroids[seg, axis] < edge
+            nl = int(left_mask.sum())
+            if 0 < nl < n:
+                # stable partition keeps determinism across builders
+                order[lo:hi] = np.concatenate([seg[left_mask],
+                                               seg[~left_mask]])
+                mid = lo + nl
+        if mid is None:
+            # degenerate binning: median split on the widest centroid axis
+            axis = int(np.argmax(cmax - cmin))
+            sort_idx = np.argsort(cen[:, axis], kind="stable")
+            order[lo:hi] = seg[sort_idx]
+            mid = lo + n // 2
+        li = len(nodes)
+        nodes.append(_BinNode(*seg_bounds(lo, mid)))
+        ri = len(nodes)
+        nodes.append(_BinNode(*seg_bounds(mid, hi)))
+        nodes[ni].left = li
+        nodes[ni].right = ri
+        stack.append((li, lo, mid))
+        stack.append((ri, mid, hi))
+    return nodes, order
+
+
 def _conservative_f32(bb_min, bb_max):
     """Round f64 bounds outward to f32 (bvh4.go:494-514)."""
     lo = bb_min.astype(np.float32)
@@ -162,15 +258,20 @@ def _conservative_f32(bb_min, bb_max):
     return lo, hi
 
 
-def build_bvh4(prims, seed: int = 1, leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
-    """Build the flat BVH4 from a compiled primitive SoA (host arrays)."""
+def build_bvh4(prims, seed: int = 1, leaf_size: int = LEAF_SIZE,
+               method: str = "median") -> BVH4Arrays:
+    """Build the flat BVH4 from a compiled primitive SoA (host arrays).
+    method: "median" (reference-parity random-axis median split) or "sah"
+    (binned SAH — higher quality, used by the Pallas traversal kernel)."""
     bb_min, bb_max = prim_bounds(prims)
-    return build_bvh4_from_bounds(bb_min, bb_max, seed, leaf_size=leaf_size)
+    return build_bvh4_from_bounds(bb_min, bb_max, seed, leaf_size=leaf_size,
+                                  method=method)
 
 
 def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1,
                            use_native: Optional[bool] = None,
-                           leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
+                           leaf_size: int = LEAF_SIZE,
+                           method: str = "median") -> BVH4Arrays:
     if use_native is None:
         use_native = True
     if use_native:
@@ -178,12 +279,16 @@ def build_bvh4_from_bounds(bb_min, bb_max, seed: int = 1,
 
         result = native.build(np.ascontiguousarray(bb_min),
                               np.ascontiguousarray(bb_max), seed,
-                              leaf_size=leaf_size)
+                              leaf_size=leaf_size, method=method)
         if result is not None:
             bounds, child, count, order = result
             return BVH4Arrays(bounds=bounds, child=child, count=count,
                               prim_order=order)
-    nodes, order = _build_binary(bb_min, bb_max, seed, leaf_size=leaf_size)
+    if method == "sah":
+        nodes, order = _build_binary_sah(bb_min, bb_max, leaf_size=leaf_size)
+    else:
+        nodes, order = _build_binary(bb_min, bb_max, seed,
+                                     leaf_size=leaf_size)
 
     # Collapse: each BVH4 node's slots are the binary node's grandchildren
     # (bvh4.go:714-792 collectChildren). A binary child that is a leaf (or

@@ -42,7 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ]
         _lib = lib
     except Exception:
@@ -55,7 +55,7 @@ def available() -> bool:
 
 
 def build(bb_min: np.ndarray, bb_max: np.ndarray, seed: int,
-          leaf_size: int = 4):
+          leaf_size: int = 4, method: str = "median"):
     """Native build. Returns (bounds, child, count, prim_order) numpy arrays
     or None if the native library is unavailable."""
     lib = _load()
@@ -78,7 +78,7 @@ def build(bb_min: np.ndarray, bb_max: np.ndarray, seed: int,
         n, seed,
         ptr(bounds, ctypes.c_float), ptr(child, ctypes.c_int32),
         ptr(count, ctypes.c_int32), ptr(order, ctypes.c_int32),
-        max_nodes, leaf_size,
+        max_nodes, leaf_size, 1 if method == "sah" else 0,
     )
     if n_nodes < 0:
         return None

@@ -86,9 +86,13 @@ extern "C" int64_t izpi_build_bvh4(
     int32_t* out_child,   // capacity max_nodes * 4
     int32_t* out_count,   // capacity max_nodes * 4
     int32_t* prim_order,  // capacity n_prims
-    int64_t max_nodes, int64_t leaf_size) {
+    int64_t max_nodes, int64_t leaf_size, int32_t method) {
+  // method: 0 = reference-parity median/random-axis split (bvh4.go:596-652);
+  //         1 = deterministic binned SAH (mirrors bvh_build._build_binary_sah
+  //         so the two builders stay differential-testable).
   if (n_prims <= 0 || leaf_size <= 0) return -1;
   const int64_t kLeafSize = leaf_size;
+  constexpr int kBins = 16;
 
   Builder b;
   b.bb_min = bb_min;
@@ -101,8 +105,15 @@ extern "C" int64_t izpi_build_bvh4(
 
   Lcg rng(seed);
 
-  // Binary median-split build with an explicit stack; children created in
-  // the same order as the python builder (left then right pushed, LIFO).
+  auto half_area = [](const double* lo, const double* hi) {
+    const double dx = std::max(hi[0] - lo[0], 0.0);
+    const double dy = std::max(hi[1] - lo[1], 0.0);
+    const double dz = std::max(hi[2] - lo[2], 0.0);
+    return dx * dy + dy * dz + dz * dx;
+  };
+
+  // Binary build with an explicit stack; children created in the same order
+  // as the python builder (left then right pushed, LIFO).
   b.nodes.reserve(2 * n_prims / kLeafSize + 4);
   {
     BinNode root;
@@ -121,13 +132,115 @@ extern "C" int64_t izpi_build_bvh4(
       b.nodes[ni].count = n;
       continue;
     }
-    const int axis = static_cast<int>(rng.f64() * 3.0) % 3;
-    std::stable_sort(
-        b.order.begin() + lo, b.order.begin() + hi,
-        [&](int64_t x, int64_t y) {
-          return b.centroid[x * 3 + axis] < b.centroid[y * 3 + axis];
-        });
-    const int64_t mid = lo + n / 2;
+    int64_t mid = -1;
+    if (method == 1) {
+      // --- binned SAH over the centroid extent of each axis ---
+      double cmin[3], cmax[3];
+      for (int a = 0; a < 3; ++a) {
+        cmin[a] = std::numeric_limits<double>::infinity();
+        cmax[a] = -std::numeric_limits<double>::infinity();
+      }
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t p = b.order[i];
+        for (int a = 0; a < 3; ++a) {
+          cmin[a] = std::min(cmin[a], b.centroid[p * 3 + a]);
+          cmax[a] = std::max(cmax[a], b.centroid[p * 3 + a]);
+        }
+      }
+      double best_cost = std::numeric_limits<double>::infinity();
+      int best_axis = -1;
+      double best_edge = 0.0;
+      for (int axis = 0; axis < 3; ++axis) {
+        const double extent = cmax[axis] - cmin[axis];
+        if (extent <= 0.0) continue;
+        const double scale = kBins / extent;
+        int64_t counts[kBins] = {0};
+        double bl[kBins][3], bh[kBins][3];
+        for (int bi = 0; bi < kBins; ++bi)
+          for (int a = 0; a < 3; ++a) {
+            bl[bi][a] = std::numeric_limits<double>::infinity();
+            bh[bi][a] = -std::numeric_limits<double>::infinity();
+          }
+        for (int64_t i = lo; i < hi; ++i) {
+          const int64_t p = b.order[i];
+          int bi = static_cast<int>(
+              (b.centroid[p * 3 + axis] - cmin[axis]) * scale);
+          bi = std::min(bi, kBins - 1);
+          ++counts[bi];
+          for (int a = 0; a < 3; ++a) {
+            bl[bi][a] = std::min(bl[bi][a], bb_min[p * 3 + a]);
+            bh[bi][a] = std::max(bh[bi][a], bb_max[p * 3 + a]);
+          }
+        }
+        double llo[kBins][3], lhi[kBins][3], rlo[kBins][3], rhi[kBins][3];
+        for (int a = 0; a < 3; ++a) {
+          llo[0][a] = bl[0][a];
+          lhi[0][a] = bh[0][a];
+          rlo[kBins - 1][a] = bl[kBins - 1][a];
+          rhi[kBins - 1][a] = bh[kBins - 1][a];
+        }
+        for (int bi = 1; bi < kBins; ++bi)
+          for (int a = 0; a < 3; ++a) {
+            llo[bi][a] = std::min(llo[bi - 1][a], bl[bi][a]);
+            lhi[bi][a] = std::max(lhi[bi - 1][a], bh[bi][a]);
+          }
+        for (int bi = kBins - 2; bi >= 0; --bi)
+          for (int a = 0; a < 3; ++a) {
+            rlo[bi][a] = std::min(rlo[bi + 1][a], bl[bi][a]);
+            rhi[bi][a] = std::max(rhi[bi + 1][a], bh[bi][a]);
+          }
+        int64_t nl = 0;
+        for (int bi = 0; bi < kBins - 1; ++bi) {
+          nl += counts[bi];
+          const int64_t nr = n - nl;
+          if (nl == 0 || nr == 0) continue;
+          const double cost = half_area(llo[bi], lhi[bi]) * nl
+                              + half_area(rlo[bi + 1], rhi[bi + 1]) * nr;
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_axis = axis;
+            best_edge = cmin[axis] + (bi + 1) / scale;
+          }
+        }
+      }
+      if (best_axis >= 0) {
+        // stable partition on centroid < edge (matches numpy concatenate)
+        tmp.clear();
+        std::vector<int64_t> right;
+        for (int64_t i = lo; i < hi; ++i) {
+          const int64_t p = b.order[i];
+          if (b.centroid[p * 3 + best_axis] < best_edge) tmp.push_back(p);
+          else right.push_back(p);
+        }
+        const int64_t nl = static_cast<int64_t>(tmp.size());
+        if (nl > 0 && nl < n) {
+          std::copy(tmp.begin(), tmp.end(), b.order.begin() + lo);
+          std::copy(right.begin(), right.end(), b.order.begin() + lo + nl);
+          mid = lo + nl;
+        }
+      }
+      if (mid < 0) {
+        // degenerate binning: median split on the widest centroid axis
+        int axis = 0;
+        double w = -1.0;
+        for (int a = 0; a < 3; ++a)
+          if (cmax[a] - cmin[a] > w) { w = cmax[a] - cmin[a]; axis = a; }
+        std::stable_sort(
+            b.order.begin() + lo, b.order.begin() + hi,
+            [&](int64_t x, int64_t y) {
+              return b.centroid[x * 3 + axis] < b.centroid[y * 3 + axis];
+            });
+        mid = lo + n / 2;
+      }
+    } else {
+      const int axis = static_cast<int>(rng.f64() * 3.0) % 3;
+      std::stable_sort(
+          b.order.begin() + lo, b.order.begin() + hi,
+          [&](int64_t x, int64_t y) {
+            return b.centroid[x * 3 + axis] < b.centroid[y * 3 + axis];
+          });
+      mid = lo + n / 2;
+    }
     const int64_t li = static_cast<int64_t>(b.nodes.size());
     {
       BinNode ln;

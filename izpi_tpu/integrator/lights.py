@@ -90,15 +90,21 @@ def pdf_value(lights: Lights, o, v):
         ok_t, t_t * t_t * v_len2 / (cos_t * lights.area[None]), 0.0
     )
 
-    # Sphere member: solid-angle cone (sphere.go:129-137). No clamp inside
-    # the sqrt: origins inside the sphere yield NaN exactly like Go.
+    # Sphere member: solid-angle cone (sphere.go:129-137). Deliberate
+    # deviation: the reference's unclamped sqrt yields NaN for origins
+    # INSIDE the sphere (math.Sqrt of a negative) — common under glass
+    # spheres, which sit in the light list via the dielectric IsEmitter
+    # quirk — and a single NaN pdf poisons the whole spectral canvas (the
+    # RGB path hides it behind the per-sample DeNAN). Clamping to 0 gives
+    # the full-hemisphere pdf 1/2π for interior origins and equals the
+    # reference everywhere the reference is finite.
     _, ok_s, _ = prim.sphere_t(
         ob, vb, lights.l0[None], lights.radius[None], 1e-3, prim.T_MAX
     )
     dist2 = vm.squared_length(lights.l0[None] - ob)
-    cos_theta_max = jnp.sqrt(
-        1.0 - lights.radius[None] ** 2 / dist2
-    )
+    cos_theta_max = jnp.sqrt(jnp.maximum(
+        1.0 - lights.radius[None] ** 2 / dist2, 0.0
+    ))
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
     pdf_sph = jnp.where(ok_s, 1.0 / solid_angle, 0.0)
 

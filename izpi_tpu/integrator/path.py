@@ -532,7 +532,10 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     spdf_cos = jnp.maximum(cos_out, 0.0) / jnp.pi
     diffuse_like = (kind == mt.MAT_LAMBERT) | is_pbr
     spdf = jnp.where(diffuse_like, spdf_cos, 0.0)
-    diff_mult = spec_val * spdf / pdf_val
+    # pdf==0 (degenerate sample, e.g. in-plane light directions) divides to
+    # NaN in the reference's spectral sampler (spectral.go:70, no DeNAN
+    # downstream unlike the RGB path) — zero the sample instead.
+    diff_mult = spec_val * jnp.where(pdf_val > 0.0, spdf / pdf_val, 0.0)
 
     # Spectral PBR specular gets the ×1.5 albedo boost (pbr.go:253-259).
     pbr_spec_mult = spec_val * 1.5

@@ -11,7 +11,9 @@ sample counter. Lane occupancy stays ~100% until the tail.
 
 Spectral mode follows render/spectral.go:71-106: λ importance-sampled by
 CIE-Y per sample, scalar radiance transport, XYZ deposit
-radiance·(x̄,ȳ,z̄)(λ)/pdf(λ), deposits NOT DeNAN'd (faithful).
+radiance·(x̄,ȳ,z̄)(λ)/pdf(λ). Deposits ARE DeNAN'd — a deliberate deviation:
+the reference's spectral path lacks the RGB path's per-sample DeNAN and
+NaNs its canvas on degenerate pdfs (see path.bounce_spectral).
 """
 
 from __future__ import annotations
@@ -124,9 +126,13 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
             # pdf(λ)=0 only when u drew exactly 0 and landed on CIE_Y[0]=0
             # — a measure-zero event the reference divides into Inf
             # (render/spectral.go:95); zeroing it keeps the estimator
-            # unbiased and the canvas finite for firefly rejection.
+            # unbiased and the canvas finite for firefly rejection. The
+            # final de_nan mirrors the RGB path's per-sample DeNAN
+            # (render/rgb.go:36) which the reference's spectral path lacks
+            # — its canvas NaNs on the quirks documented in
+            # path.bounce_spectral; ours must not.
             w = jnp.where(st["lam_pdf"] > 0.0, rad / st["lam_pdf"], 0.0)
-            contrib = xyz * w[:, None]
+            contrib = vm.de_nan(xyz * w[:, None])
         else:
             contrib = vm.de_nan(rad)
         acc = st["acc"].at[st["pix"]].add(

@@ -380,8 +380,10 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
     n_grid = -(-n_rays // tile)
     n_pad = n_grid * tile
 
+    # Pallas double-buffers inputs (even constant-index ones), so budget
+    # ~2.5× the node tables plus headroom for ray planes and scratch.
     nodes_bytes = (ks.bounds.size + ks.cc.size) * 4
-    vmem_limit = min(int(nodes_bytes * 1.25) + (1 << 21), 128 << 20)
+    vmem_limit = min(int(nodes_bytes * 2.5) + (8 << 20), 100 << 20)
 
     ray_spec = pl.BlockSpec((TS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -507,16 +509,22 @@ def attach(cs, seed: int = 1, sort: bool = True,
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
     with the kernel's wide leaves."""
-    from izpi_tpu.accel import traverse
-
-    arrays = bvh_build.build_bvh4(cs.prims, seed, leaf_size=KERNEL_LEAF)
-    errors = bvh_build.validate(arrays, cs.prims.count, stack_depth=KSTACK)
+    # One bulk device→host transfer up front, everything host-side (the
+    # build, reorder, bounds and packing are numpy), one upload at the end
+    # — per-array round trips through a tunneled device cost minutes at
+    # dragon scale.
+    host_prims = prim.Prims(*jax.device_get(list(cs.prims)))
+    arrays = bvh_build.build_bvh4(host_prims, seed, leaf_size=KERNEL_LEAF,
+                                  method="sah")
+    errors = bvh_build.validate(arrays, host_prims.count, stack_depth=KSTACK)
     if errors:
         raise AssertionError(f"BVH4 validation failed: {errors[:5]}")
-    cs2 = cs._replace(prims=traverse.reorder_prims(cs.prims,
-                                                   arrays.prim_order))
-    ks = pack_scene(cs2.prims, arrays)
-    bb_min, bb_max = bvh_build.prim_bounds(cs2.prims)
+    idx = np.asarray(arrays.prim_order)
+    host_reordered = prim.Prims(*[np.asarray(f)[idx] for f in host_prims])
+    ks = pack_scene(host_reordered, arrays)
+    bb_min, bb_max = bvh_build.prim_bounds(host_reordered)
+    cs2 = cs._replace(prims=prim.Prims(
+        *[jnp.asarray(f) for f in host_reordered]))
     inter = BVHKernelIntersector(
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
         sort=sort, interpret=interpret)

@@ -385,8 +385,10 @@ def _lights_pdf(lights, o, v):
             t, ok, _ = _sphere_test(pr, o, v, v_len * 0.0, 1e-3, T_MAX)
             to_c = _sub(_c(li["l0"]), o)
             dist2 = _dot(to_c, to_c)
-            # no clamp in the sqrt: inside-origins yield NaN like Go
-            cos_max = jnp.sqrt(1.0 - li["radius"] ** 2 / dist2)
+            # clamped: interior origins get the hemisphere pdf 1/2π
+            # (see integrator.lights.pdf_value — the reference NaNs here)
+            cos_max = jnp.sqrt(jnp.maximum(
+                1.0 - li["radius"] ** 2 / dist2, 0.0))
             solid = TWO_PI * (1.0 - cos_max)
             pdf = jnp.where(ok, 1.0 / solid, 0.0)
         else:

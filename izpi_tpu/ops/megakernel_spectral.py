@@ -451,7 +451,9 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
             spdf_cos = jnp.maximum(cos_out, 0.0) / jnp.pi
             diffuse_like = kindv == mt.MAT_LAMBERT
             spdf = jnp.where(diffuse_like, spdf_cos, 0.0)
-            diff_mult = spec_val * spdf / pdf_val
+            # zero-pdf guard — see path.bounce_spectral
+            diff_mult = spec_val * jnp.where(pdf_val > 0.0,
+                                             spdf / pdf_val, 0.0)
 
             is_diel = kindv == mt.MAT_DIELECTRIC
             d_new = _sel(is_diel, d_diel, d_diff)
@@ -470,9 +472,9 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
 
             # --- deposit + refill ---
             died = live & ~active
-            # XYZ deposit, NOT DeNAN'd except the measure-zero pdf(λ)=0
-            # guard (see wavefront.trace_pool).
+            # XYZ deposit, DeNAN'd like the pool (wavefront.trace_pool).
             w = jnp.where(st["lpdf"] > 0.0, rad / st["lpdf"], 0.0)
+            w = jnp.where(jnp.isfinite(w), w, 0.0)
             acc = (st["acc"][0] + jnp.where(died, st["cie_x"] * w, 0.0),
                    st["acc"][1] + jnp.where(died, st["cie_y"] * w, 0.0),
                    st["acc"][2] + jnp.where(died, st["cie_z"] * w, 0.0))

@@ -22,14 +22,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
                           "goldens")
 
-# name, scene, nx, ny, spp, depth, sampler
+# name, scene, nx, ny, spp, depth, sampler, background
 CONFIGS = [
-    ("cornell", "cornell_box", 32, 32, 2048, 16, "colour"),
-    ("shirley", "random_scene", 32, 32, 1024, 12, "colour"),
-    ("dragon_lite", None, 32, 32, 1024, 8, "colour"),  # built below
-    ("pbr_ibl", "pbr_ibl", 32, 32, 1024, 8, "colour"),
+    ("cornell", "cornell_box", 32, 32, 2048, 16, "colour", (0, 0, 0)),
+    ("shirley", "random_scene", 32, 32, 1024, 12, "colour",
+     (0.7, 0.8, 1.0)),
+    ("dragon_lite", None, 32, 32, 1024, 8, "colour", (0, 0, 0)),
+    ("pbr_ibl", "pbr_ibl", 32, 32, 1024, 8, "colour", (0, 0, 0)),
     ("spectral_pyramid", "cornell_box_pyramid_spectral",
-     32, 32, 2048, 16, "spectral"),
+     32, 32, 2048, 16, "spectral", (0, 0, 0)),
 ]
 
 
@@ -41,14 +42,16 @@ def dragon_lite_scene(aspect: float = 1.0, n_tris: int = 20000):
     return cornell_box_pbr_stanford_dragon_spectral(aspect, n_tris=n_tris)
 
 
-def render_config(name, scene_name, nx, ny, spp, depth, sampler, seed=12345):
+def render_config(name, scene_name, nx, ny, spp, depth, sampler,
+                  background=(0, 0, 0), seed=12345):
     from izpi_tpu.integrator import path as path_mod
     from izpi_tpu.render import renderer
     from izpi_tpu.scene.library import get_scene
 
     scene = (dragon_lite_scene(nx / ny) if scene_name is None
              else get_scene(scene_name, aspect=nx / ny))
-    settings = path_mod.RenderSettings(max_depth=depth)
+    settings = path_mod.RenderSettings(max_depth=depth,
+                                       background=tuple(background))
     ctx = renderer.RenderContext(scene)
     # Two independent half-renders give a cheap variance estimate of the
     # per-pixel mean at this spp.
@@ -68,16 +71,16 @@ def render_config(name, scene_name, nx, ny, spp, depth, sampler, seed=12345):
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     only = set(sys.argv[1:])
-    for name, scene_name, nx, ny, spp, depth, sampler in CONFIGS:
+    for name, scene_name, nx, ny, spp, depth, sampler, bg in CONFIGS:
         if only and name not in only:
             continue
         print(f"rendering golden {name} ({nx}x{ny}@{spp}spp)...", flush=True)
         mean, half_sigma = render_config(name, scene_name, nx, ny, spp,
-                                         depth, sampler)
+                                         depth, sampler, background=bg)
         path = os.path.join(GOLDEN_DIR, f"{name}.npz")
         np.savez_compressed(
             path, mean=mean, half_sigma=half_sigma, spp=spp, depth=depth,
-            nx=nx, ny=ny, sampler=sampler,
+            nx=nx, ny=ny, sampler=sampler, background=np.asarray(bg),
             scene=scene_name or "dragon_lite")
         print(f"  wrote {path}: mean lum {mean.mean():.4f}", flush=True)
 

@@ -1,0 +1,86 @@
+"""Scaling-efficiency harness (BASELINE: ≥0.9 rays/s efficiency 1→N).
+
+Runs the production sample-sharded pool renderer (parallel.dist) at 1..N
+devices and writes SCALING_r0N.json. On real multi-chip hardware (a pod
+slice with jax.distributed) the numbers are meaningful throughput; on this
+image's single-chip + virtual-CPU-mesh setup they validate the collective
+structure and work division, not absolute speed — the JSON records which.
+
+Usage: python scripts/scaling_bench.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    # Force the 8-device CPU mesh when only one real device exists.
+    import jax
+
+    emulated = False
+    if len(jax.devices()) == 1:
+        # restart-free fallback: single-device "scaling" is meaningless
+        print("single device; re-run under "
+              "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+              "JAX_PLATFORMS=cpu for the emulated mesh", flush=True)
+    if jax.default_backend() == "cpu":
+        emulated = True
+
+    from izpi_tpu.integrator import path as path_mod
+    from izpi_tpu.parallel import dist
+    from izpi_tpu.render import renderer
+    from izpi_tpu.scene.library.cornell import cornell_box
+
+    settings = path_mod.RenderSettings(max_depth=8)
+    counts = [c for c in (1, 2, 4, 8) if c <= len(jax.devices())]
+    res = {}
+    if len(counts) > 1:
+        res = dist.scaling_efficiency(cornell_box(), 64, 64, 8,
+                                      device_counts=counts,
+                                      settings=settings)
+
+    # Projected N-chip efficiency from one chip: under sample sharding each
+    # device renders the whole frame at spp/N with one final psum (bytes =
+    # n_pix·12, negligible on ICI), so efficiency ≈ T(spp) / (N·T(spp/N)) —
+    # the true cost is the pool's tail utilization at the smaller spp.
+    import time as time_mod
+
+    def timed(spp):
+        ctx = renderer.RenderContext(cornell_box())
+        kw = dict(settings=settings, seed=0, context=ctx)
+        renderer.render(None, 128, 128, spp, **kw)
+        t0 = time_mod.perf_counter()
+        renderer.render(None, 128, 128, spp, **kw)
+        return time_mod.perf_counter() - t0
+
+    base_spp = 64
+    t_full = timed(base_spp)
+    projected = {}
+    for n in (2, 4, 8):
+        t_shard = timed(base_spp // n)
+        projected[str(n)] = round(t_full / (n * t_shard), 4)
+
+    record = {
+        "backend": jax.default_backend(),
+        "emulated_mesh": emulated,
+        "note": ("CPU-emulated mesh wall-clock is threads sharing cores — "
+                 "collective structure and work division are real, "
+                 "absolute Mrays/s are not; projected_efficiency is the "
+                 "single-device sample-shard projection"
+                 if emulated else "real devices"),
+        "results": {str(k): v for k, v in res.items()},
+        "projected_efficiency_1_to_N": projected,
+    }
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,3 +30,25 @@ def test_native_large_build_valid():
     arrays = bvh_build.build_bvh4_from_bounds(mn, mx, seed=2)
     assert bvh_build.validate(arrays, n) == []
     assert (arrays.count <= bvh_build.LEAF_SIZE).all()
+
+
+def test_sah_builders_match_and_validate():
+    """Binned-SAH build: native C++ vs numpy node-for-node, plus structural
+    validation (the kernel's quality tree, bvh_build._build_binary_sah)."""
+    rs = np.random.RandomState(7)
+    n = 5000
+    lo = rs.rand(n, 3) * 50
+    hi = lo + rs.rand(n, 3)
+    a = bvh_build.build_bvh4_from_bounds(lo, hi, 1, use_native=True,
+                                         leaf_size=16, method="sah")
+    b = bvh_build.build_bvh4_from_bounds(lo, hi, 1, use_native=False,
+                                         leaf_size=16, method="sah")
+    if a is None:
+        import pytest
+
+        pytest.skip("native builder unavailable")
+    assert np.array_equal(a.child, b.child)
+    assert np.array_equal(a.count, b.count)
+    assert np.array_equal(a.prim_order, b.prim_order)
+    assert np.allclose(a.bounds, b.bounds)
+    assert bvh_build.validate(a, n, stack_depth=64) == []
