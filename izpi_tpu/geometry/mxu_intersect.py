@@ -110,7 +110,12 @@ def _chunk_t(tables: MxuTables, sl: int, chunk: int, f, o, d, t_min, t_max):
     kind = jax.lax.dynamic_slice_in_dim(tables.kind, sl, chunk)
     r2 = jax.lax.dynamic_slice_in_dim(tables.sph_r2, sl, chunk)
 
+    # precision=HIGHEST: TPU matmuls default to bf16 input passes, whose
+    # 8-bit mantissas flip near-tangent hit decisions (small spheres in
+    # Shirley-scale scenes went visibly dark). The 6-pass f32 matmul is
+    # still MXU throughput, just 3× the passes.
     a_mat = jnp.einsum("nf,fpc->npc", f, kc,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)  # (N, C, 6)
 
     # ---- triangles (same epsilon semantics as primitives.triangle_t) ----

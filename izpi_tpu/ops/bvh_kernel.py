@@ -438,30 +438,31 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
 
 
 # --------------------------------------------------------------------------
-# Ray sorting: union traversal thrives on coherence. Key = direction octant
-# (3 bits) + 5-bit-per-axis Morton code of the origin inside the scene AABB.
+# Ray sorting: union traversal thrives on coherence. Key = 4-bit-per-axis
+# Morton of the origin inside the scene AABB interleaved with 4-bit-per-axis
+# Morton of the unit direction — origin alone degenerates for camera rays
+# (one shared origin → scanline-strip tiles with wide frusta); direction
+# alone degenerates for diffuse bounces. Origin bits lead (major key).
 # --------------------------------------------------------------------------
 
 
-def _morton5(x):
-    """Interleave 3×5-bit ints (values 0..31) into a 15-bit Morton code."""
-    def spread(v):
-        v = (v | (v << 8)) & 0x100F
-        v = (v | (v << 4)) & 0x10C3
-        v = (v | (v << 2)) & 0x1249
-        return v
-    return spread(x[0]) | (spread(x[1]) << 1) | (spread(x[2]) << 2)
+def _morton4(x, y, z):
+    """Interleave 3×4-bit ints (0..15) into a 12-bit Morton code
+    (bit b of an axis lands at 3b + axis)."""
+    def spread3(v):
+        return ((v & 1) | ((v & 2) << 2) | ((v & 4) << 4) | ((v & 8) << 6))
+    return spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 
 
 def sort_keys(o, d, lo, hi):
-    octant = ((d[:, 0] < 0).astype(jnp.int32)
-              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
-              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
     span = jnp.maximum(hi - lo, 1e-6)
-    cell = jnp.clip(((o - lo[None, :]) / span[None, :] * 32.0)
-                    .astype(jnp.int32), 0, 31)
-    m = _morton5((cell[:, 0], cell[:, 1], cell[:, 2]))
-    return (octant << 15) | m
+    cell = jnp.clip(((o - lo[None, :]) / span[None, :] * 16.0)
+                    .astype(jnp.int32), 0, 15)
+    m_o = _morton4(cell[:, 0], cell[:, 1], cell[:, 2])
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    dc = jnp.clip(((dn + 1.0) * 8.0).astype(jnp.int32), 0, 15)
+    m_d = _morton4(dc[:, 0], dc[:, 1], dc[:, 2])
+    return (m_o << 12) | m_d
 
 
 class BVHKernelIntersector:
@@ -495,9 +496,10 @@ class BVHKernelIntersector:
         if self.sort and n >= 2048:
             keys = sort_keys(o, d, self.lo, self.hi)
             order = jnp.argsort(keys)
-            inv = jnp.argsort(order)
             t, idx = fn(o[order], d[order], time[order], t_min, t_max)
-            t, idx = t[inv], idx[inv]
+            # scatter-unsort (cheaper than a second argsort)
+            t = jnp.zeros_like(t).at[order].set(t)
+            idx = jnp.zeros_like(idx).at[order].set(idx)
         else:
             t, idx = fn(o, d, time, t_min, t_max)
         hit = idx >= 0

@@ -50,7 +50,7 @@ T_MAX = 3.0e38
 MT_EPS = 1e-8
 TWO_PI = 2.0 * math.pi
 CAMERA_SALT = 0x5EED
-MAX_UNROLL_PRIMS = 192   # compile-time unroll budget
+MAX_UNROLL_PRIMS = 560   # compile-time unroll budget (Shirley ≈ 490 prims)
 LOOP_CHUNK = 32          # bounces between pool-drained checks
 
 

@@ -191,6 +191,81 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         image=canvas, rays_traced=int(rays), seconds=seconds)
 
 
+def make_sharded_intersector(cs, mesh: Mesh):
+    """Primitive-sharded closest hit — the >HBM-scene path (SURVEY §2.6
+    "geometry streaming": the reference streams triangles to every worker,
+    leader/leader.go:34 + worker/setup.go:97-153; on TPU the natural design
+    shards the primitive SoA across the mesh instead so each chip holds 1/N
+    of the scene).
+
+    Usable INSIDE a shard_map body whose rays are replicated over
+    TILE_AXIS: each shard brute-intersects its local prims, the winning t
+    reduces with a pmin over ICI, ties break to the lowest shard (exactly
+    one winner), and the winner's full shading record psums to everyone.
+
+    Returns (cs_padded_local_fn, intersect_fn) where intersect_fn has the
+    standard IntersectFn signature. Call under shard_map with the prims
+    sharded P(TILE_AXIS) and everything else replicated."""
+    n_dev = mesh.devices.size
+
+    def pad_prims(prims):
+        p = prims.count
+        pad = (-p) % n_dev
+
+        def pad_field(x, fill=0):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        from izpi_tpu.geometry import primitives as prim
+
+        return prim.Prims(
+            kind=pad_field(prims.kind, prim.KIND_NONE),
+            g0=pad_field(prims.g0), g1=pad_field(prims.g1),
+            g2=pad_field(prims.g2), g3=pad_field(prims.g3),
+            mat_id=pad_field(prims.mat_id, -1),
+            flip=pad_field(prims.flip),
+            uv=pad_field(prims.uv), vn=pad_field(prims.vn),
+            has_vn=pad_field(prims.has_vn), tb=pad_field(prims.tb),
+        )
+
+    def intersect_local(local_prims, o, d, time, t_min, t_max):
+        from izpi_tpu.geometry import primitives as prim
+
+        # Rays arrive replicated; the local prims are device-varying, so
+        # promote the rays too or the brute-force loop carries mix types.
+        o, d, time = jax.lax.pvary((o, d, time), (TILE_AXIS,))
+        rec = prim.intersect_brute(local_prims, o, d, time, t_min, t_max)
+        me = jax.lax.axis_index(TILE_AXIS)
+        big = jnp.float32(prim.T_MAX)
+        key = jnp.where(rec.hit, rec.t, big)
+        t_global = jax.lax.pmin(key, TILE_AXIS)
+        tied = rec.hit & (key == t_global)
+        rank = jax.lax.pmin(
+            jnp.where(tied, me, jnp.int32(1 << 30)), TILE_AXIS)
+        win = tied & (me == rank)
+
+        def red(x, fill=0.0):
+            masked = jnp.where(
+                win if x.ndim == 1 else win[:, None],
+                x, jnp.asarray(fill, x.dtype))
+            return jax.lax.psum(masked, TILE_AXIS)
+
+        any_hit = jax.lax.pmax(rec.hit.astype(jnp.int32), TILE_AXIS) > 0
+        # Local → global primitive index (mat ids are already global).
+        # Shading gathers that index the prim SoA (PBR tangent frames)
+        # cannot cross shards, so this mode is for non-PBR scenes.
+        gidx = rec.prim_idx + me * local_prims.count
+        return prim.Hit(
+            t=red(rec.t), u=red(rec.u), v=red(rec.v), p=red(rec.p),
+            normal=red(rec.normal),
+            prim_idx=jnp.where(any_hit, red(gidx), -1),
+            mat_id=jnp.where(any_hit, red(rec.mat_id), -1),
+            hit=any_hit,
+        )
+
+    return pad_prims, intersect_local
+
+
 def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,
                        device_counts=None, seed: int = 0,
                        settings: Optional[path_mod.RenderSettings] = None):

@@ -107,3 +107,44 @@ def test_gradients_match_finite_differences():
             i, j, fd, ad)
         checked += 1
     assert checked >= 3
+
+
+def test_primitive_sharded_intersector_matches_replicated():
+    """>HBM-scene path (SURVEY §2.6 geometry streaming → prim sharding):
+    each device holds 1/N of the primitives; closest hits reduce over the
+    mesh and must equal the replicated brute-force oracle exactly."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from izpi_tpu.geometry import primitives as prim
+
+    scene = cornell_box()
+    cs, meta = compile_scene(scene)
+    mesh = dist.make_mesh(8)
+    pad_prims, intersect_local = dist.make_sharded_intersector(cs, mesh)
+    prims_p = pad_prims(cs.prims)
+
+    n = 256
+    rs = np.random.RandomState(4)
+    o = jnp.asarray(278 + rs.randn(n, 3) * 200, jnp.float32)
+    d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    tm = jnp.zeros(n, jnp.float32)
+
+    def body(prims_local, o, d, tm):
+        rec = intersect_local(prims_local, o, d, tm, 1e-3, prim.T_MAX)
+        return tuple(rec)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(dist.TILE_AXIS), P(), P(), P()),
+                   out_specs=P())
+    got = prim.Hit(*fn(prims_p, o, d, tm))
+    want = prim.intersect_brute(cs.prims, o, d, tm, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.mat_id)[h],
+                                  np.asarray(want.mat_id)[h])
+    np.testing.assert_allclose(np.asarray(got.normal)[h],
+                               np.asarray(want.normal)[h], rtol=1e-5,
+                               atol=1e-6)
