@@ -57,10 +57,22 @@ def run_config(name, scene_name, nx, ny, spp, depth, sampler, background):
 
 
 def main():
+    import os
+    import time
+
     only = sys.argv[1:] or None
+    # Wall-clock budget: skip remaining configs (noting which) rather than
+    # get killed mid-run without the aggregate line.
+    budget = float(os.environ.get("IZPI_BENCH_BUDGET_SEC", "2400"))
+    t_start = time.time()
     results = {}
     for name, scene_name, nx, ny, spp, depth, sampler, bg in CONFIGS:
         if only and name not in only:
+            continue
+        if time.time() - t_start > budget:
+            print(json.dumps({"metric": f"{name}_mrays_per_sec",
+                              "skipped": "bench budget exhausted"}),
+                  flush=True)
             continue
         try:
             m = run_config(name, scene_name, nx, ny, spp, depth, sampler, bg)

@@ -65,7 +65,12 @@ def random_in_unit_sphere(u1, u2, u3):
     phi = TWO_PI * u2
     s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     d = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
-    return d * jnp.cbrt(u3)[..., None]
+    # cbrt spelled exp(log/3): Mosaic lacks a cbrt lowering, and the Pallas
+    # megakernel must consume BIT-IDENTICAL values for stream parity, so the
+    # oracle uses the same formula (clamp moves exact 0 to 1e-10, far below
+    # the fuzz scale).
+    r = jnp.exp(jnp.log(jnp.maximum(u3, 1e-30)) * jnp.float32(1.0 / 3.0))
+    return d * r[..., None]
 
 
 def cosine_pdf_value(normal, direction):

@@ -454,7 +454,11 @@ def _morton4(x, y, z):
     return spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 
 
-def sort_keys(o, d, lo, hi):
+def sort_keys(o, d, lo, hi, treelets=None):
+    """Coherence sort key. Primary: the id of the NEAREST top-level treelet
+    (union traversal of a tile whose rays all want the same subtree only
+    visits that subtree — the single biggest lever for incoherent bounce
+    rays); secondary: direction then origin Morton codes."""
     span = jnp.maximum(hi - lo, 1e-6)
     cell = jnp.clip(((o - lo[None, :]) / span[None, :] * 16.0)
                     .astype(jnp.int32), 0, 15)
@@ -462,7 +466,58 @@ def sort_keys(o, d, lo, hi):
     dn = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
     dc = jnp.clip(((dn + 1.0) * 8.0).astype(jnp.int32), 0, 15)
     m_d = _morton4(dc[:, 0], dc[:, 1], dc[:, 2])
-    return (m_o << 12) | m_d
+    key = (m_d << 12) | m_o
+    if treelets is not None and treelets.shape[0] > 1:
+        t_lo = treelets[None, :, 0:3]          # (1, T, 3)
+        t_hi = treelets[None, :, 3:6]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)[:, None, :]
+        t0 = (t_lo - o[:, None, :]) * inv
+        t1 = (t_hi - o[:, None, :]) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tf > jnp.maximum(tn, 0.0))
+        entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(3e38))
+        tl = jnp.argmin(entry, axis=1).astype(jnp.int32)
+        none = ~jnp.any(hit, axis=1)
+        tl = jnp.where(none, treelets.shape[0], tl)
+        key = (tl << 24) | key
+    return key
+
+
+def extract_treelets(bvh: bvh_build.BVH4Arrays, target: int = 48):
+    """AABBs of the top-of-tree frontier (~`target` nodes): BFS from the
+    root, repeatedly expanding the frontier until it reaches the target.
+    Returns (T, 6) f32 [lo, hi] rows for sort_keys."""
+    bounds = np.asarray(bvh.bounds)
+    child = np.asarray(bvh.child)
+    count = np.asarray(bvh.count)
+
+    def slot_box(ni, s):
+        lo = [bounds[ni, ax * 4 + s] for ax in range(3)]
+        hi = [bounds[ni, 12 + ax * 4 + s] for ax in range(3)]
+        return lo + hi
+
+    # frontier entries: (node, slot) child slots of expanded nodes
+    frontier = [(0, s) for s in range(4) if count[0, s] != -1]
+    while len(frontier) < target:
+        # expand the internal slot with the largest box volume
+        best = None
+        for i, (ni, s) in enumerate(frontier):
+            if count[ni, s] != 0:
+                continue
+            b = slot_box(ni, s)
+            vol = max(b[3] - b[0], 0) * max(b[4] - b[1], 0) * \
+                max(b[5] - b[2], 0)
+            if best is None or vol > best[0]:
+                best = (vol, i)
+        if best is None:
+            break
+        _, i = best
+        ni, s = frontier.pop(i)
+        ch = child[ni, s]
+        frontier.extend((ch, s2) for s2 in range(4) if count[ch, s2] != -1)
+    boxes = np.asarray([slot_box(ni, s) for ni, s in frontier], np.float32)
+    return boxes if len(boxes) else np.zeros((1, 6), np.float32)
 
 
 class BVHKernelIntersector:
@@ -474,13 +529,16 @@ class BVHKernelIntersector:
     """
 
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
-                 sort: bool = True, interpret: bool | None = None):
+                 sort: bool = True, interpret: bool | None = None,
+                 treelets=None):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
         self.hi = jnp.asarray(scene_hi, jnp.float32)
         self.sort = sort
         self.interpret = interpret
+        self.treelets = (jnp.asarray(treelets, jnp.float32)
+                         if treelets is not None else None)
         self._fns = {}
 
     def _fn(self, n):
@@ -494,7 +552,7 @@ class BVHKernelIntersector:
         n = o.shape[0]
         fn = self._fn(n)
         if self.sort and n >= 2048:
-            keys = sort_keys(o, d, self.lo, self.hi)
+            keys = sort_keys(o, d, self.lo, self.hi, self.treelets)
             order = jnp.argsort(keys)
             t, idx = fn(o[order], d[order], time[order], t_min, t_max)
             # scatter-unsort (cheaper than a second argsort)
@@ -529,5 +587,6 @@ def attach(cs, seed: int = 1, sort: bool = True,
         *[jnp.asarray(f) for f in host_reordered]))
     inter = BVHKernelIntersector(
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
-        sort=sort, interpret=interpret)
+        sort=sort, interpret=interpret,
+        treelets=extract_treelets(arrays))
     return cs2, inter

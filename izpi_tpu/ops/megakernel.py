@@ -564,7 +564,11 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
                 zb = 1.0 - 2.0 * us[0]
                 phib = TWO_PI * us[1]
                 sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
-                rb = jnp.cbrt(us[2])
+                # cbrt via exp/log — Mosaic has no cbrt lowering; u ∈ [0,1)
+                # so the clamp only moves exact 0 to 1e-10, far below the
+                # fuzz scale.
+                rb = jnp.exp(jnp.log(jnp.maximum(us[2], 1e-30))
+                             * jnp.float32(1.0 / 3.0))
                 fv = (sb * jnp.cos(phib) * rb, sb * jnp.sin(phib) * rb,
                       zb * rb)
                 d_metal = _add(refl, _scale(fv, fuzz))

@@ -41,6 +41,10 @@ class RenderResult:
     rays_traced: int
     seconds: float
     xyz: Optional[np.ndarray] = None  # raw CIE XYZ canvas (spectral renders)
+    # Per-phase wall-clock (the analog of the reference's ad-hoc phase logs:
+    # BVH build at bvh4.go:519-522, tessellation, texture streaming, and the
+    # end-of-render summary at renderer.go:213).
+    phases: Optional[dict] = None
 
     @property
     def mrays_per_sec(self) -> float:
@@ -154,8 +158,10 @@ class RenderContext:
 
     def __init__(self, scene: st.Scene, use_bvh: Optional[bool] = None,
                  seed: int = 1):
+        t0 = time_mod.perf_counter()
         self.cs, self.meta, self.intersect = prepare(scene, use_bvh=use_bvh,
                                                      seed=seed)
+        self.build_seconds = time_mod.perf_counter() - t0
         self._runners = {}
 
     def pool_runner(self, nx: int, ny: int, spectral: bool, bg_spd_id: int,
@@ -326,10 +332,15 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
                     print(f"resumed at sample {start}/{spp}")
 
         t0 = time_mod.perf_counter()
+        first_chunk_seconds = None
         for off in range(start, spp, chunk_spp):
             n_chunk = min(chunk_spp, spp - off)
+            tc = time_mod.perf_counter()
             acc, nrays = run(base_key, n_chunk, pool_size, jnp.int32(off))
             acc_total = acc_total + np.asarray(acc)
+            if first_chunk_seconds is None:
+                # First chunk includes trace+compile (XLA/Mosaic).
+                first_chunk_seconds = time_mod.perf_counter() - tc
             total_rays += int(nrays)
             if checkpoint_path:
                 ckpt_mod.save(checkpoint_path, acc_total, off + n_chunk,
@@ -349,19 +360,31 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
         acc = acc_total
         nrays = total_rays
         seconds = time_mod.perf_counter() - t0
+        phases = {
+            "scene_build": round(getattr(context, "build_seconds", 0.0), 4),
+            "first_chunk_incl_compile": round(first_chunk_seconds or 0.0, 4),
+            "render": round(seconds, 4),
+        }
         canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
         if spectral:
             # Post pipeline for spectral renders (leader.go:216-219):
             # firefly rejection on XYZ, then XYZ→ACEScg with exposure.
             from izpi_tpu.spectral import convert
 
+            tp = time_mod.perf_counter()
             xyz = convert.firefly_rejection(canvas.astype(np.float64))
             image = convert.xyz_to_acescg(xyz, meta.exposure).astype(
                 np.float32)
+            phases["postprocess"] = round(time_mod.perf_counter() - tp, 4)
+            if verbose:
+                print(f"phases: {phases}")
             return RenderResult(image=image, rays_traced=int(nrays),
-                                seconds=seconds, xyz=xyz.astype(np.float32))
+                                seconds=seconds, xyz=xyz.astype(np.float32),
+                                phases=phases)
+        if verbose:
+            print(f"phases: {phases}")
         return RenderResult(image=canvas, rays_traced=int(nrays),
-                            seconds=seconds)
+                            seconds=seconds, phases=phases)
 
     if row_chunk is None:
         row_chunk = max(1, min(ny, (1 << 20) // nx))
