@@ -26,17 +26,21 @@ import sys
 PER_CHIP_TARGET_MRAYS = 125.0
 
 # (name, scene constructor name, nx, ny, spp, max_depth, sampler, background)
+# spp values are production-scale (the reference default is 1000 spp): a
+# single megakernel launch costs one ~0.1 s host↔device round trip through
+# the tunneled chip, so sub-second workloads measure dispatch latency, not
+# the renderer (Cornell: 175 Mrays/s at 64 spp vs 713 at 1024 spp).
 CONFIGS = [
-    ("cornell", "cornell_box", 256, 256, 64, 50, "colour", (0, 0, 0)),
+    ("cornell", "cornell_box", 256, 256, 1024, 50, "colour", (0, 0, 0)),
     # the Shirley scene has no emitters; the book's sky gradient is the
     # renderer background flag in izpi (black by default)
-    ("shirley", "random_scene", 256, 256, 16, 50, "colour",
+    ("shirley", "random_scene", 256, 256, 128, 50, "colour",
      (0.7, 0.8, 1.0)),
     ("dragon", "cornell_box_pbr_stanford_dragon_spectral",
      256, 256, 8, 16, "colour", (0, 0, 0)),
-    ("pbr_ibl", "pbr_ibl", 128, 128, 8, 16, "colour", (0, 0, 0)),
+    ("pbr_ibl", "pbr_ibl", 128, 128, 32, 16, "colour", (0, 0, 0)),
     ("spectral_pyramid", "cornell_box_pyramid_spectral",
-     500, 500, 16, 50, "spectral", (0, 0, 0)),
+     500, 500, 256, 50, "spectral", (0, 0, 0)),
 ]
 
 

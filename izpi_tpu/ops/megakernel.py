@@ -51,7 +51,11 @@ MT_EPS = 1e-8
 TWO_PI = 2.0 * math.pi
 CAMERA_SALT = 0x5EED
 MAX_UNROLL_PRIMS = 560   # compile-time unroll budget (Shirley ≈ 490 prims)
-LOOP_CHUNK = 32          # bounces between pool-drained checks
+# Bounces between pool-drained checks. The in-kernel predicate is a cheap
+# scalar reduce (unlike the XLA pool's ~60ms dynamic-while sync), so the
+# chunk stays small: a large chunk quantizes the drain tail into up to
+# chunk-1 wasted all-lane iterations — 25% of a low-spp render.
+LOOP_CHUNK = 8
 
 
 # --------------------------------------------------------------------------

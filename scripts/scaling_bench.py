@@ -51,15 +51,20 @@ def main():
     # the true cost is the pool's tail utilization at the smaller spp.
     import time as time_mod
 
+    # Production-scale base workload: per-device shares must stay large
+    # enough to amortize per-call overhead or the projection measures
+    # dispatch latency, not scaling (the reference workload is 500²@1000spp
+    # — sharded 8 ways each device still renders ~31M samples).
+    ctx = renderer.RenderContext(cornell_box())
+
     def timed(spp):
-        ctx = renderer.RenderContext(cornell_box())
         kw = dict(settings=settings, seed=0, context=ctx)
-        renderer.render(None, 128, 128, spp, **kw)
+        renderer.render(None, 256, 256, spp, **kw)
         t0 = time_mod.perf_counter()
-        renderer.render(None, 128, 128, spp, **kw)
+        renderer.render(None, 256, 256, spp, **kw)
         return time_mod.perf_counter() - t0
 
-    base_spp = 64
+    base_spp = 256
     t_full = timed(base_spp)
     projected = {}
     for n in (2, 4, 8):
