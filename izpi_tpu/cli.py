@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview", default=None,
                    help="write a progressive preview PNG to this path "
                         "(the headless analog of the live display window)")
+    p.add_argument("--preview-serve", type=int, default=None, metavar="PORT",
+                   help="serve the live preview at http://localhost:PORT "
+                        "(the TPU-era analog of the reference's SDL/Fyne "
+                        "display; implies --preview)")
     return p
 
 
@@ -102,6 +106,19 @@ def main(argv=None) -> int:
                   f"{len(__import__('jax').devices())} devices",
                   file=sys.stderr)
 
+    preview_server = None
+    if args.preview_serve is not None:
+        from izpi_tpu.io import display as display_mod
+
+        if not args.preview:
+            args.preview = os.path.join(
+                os.path.dirname(os.path.abspath(args.output_file)) or ".",
+                ".izpi_preview.png")
+        preview_server = display_mod.PreviewServer(
+            args.preview, port=args.preview_serve).start()
+        print(f"live preview: http://localhost:{preview_server.port}/",
+              file=sys.stderr)
+
     profile_ctx = None
     if args.profile_dir:
         import jax
@@ -137,6 +154,8 @@ def main(argv=None) -> int:
     print(f"Rendering completed in {time.time() - t0:.1f}s using "
           f"{res.rays_traced} rays ({res.mrays_per_sec:.2f} Mrays/s); "
           f"wrote {args.output_file}")
+    if preview_server is not None:
+        preview_server.stop()
     return 0
 
 

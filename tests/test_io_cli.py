@@ -79,3 +79,32 @@ def test_cli_smoke(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
     assert "Rendering completed" in r.stdout
+
+
+def test_preview_server_serves_live_png(tmp_path):
+    """Live display analog (internal/display): the preview server serves the
+    progressive PNG and an auto-refresh page over HTTP."""
+    import urllib.request
+
+    import numpy as np
+
+    from izpi_tpu.io import display as display_mod
+    from izpi_tpu.io import output as output_mod
+
+    path = str(tmp_path / "p.png")
+    output_mod.write_png(path, np.full((4, 4, 3), 0.5, np.float32))
+    srv = display_mod.PreviewServer(path, port=0).start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=5).read()
+        assert b"preview.png" in page
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/preview.png", timeout=5).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # file updates are picked up (no caching)
+        output_mod.write_png(path, np.zeros((4, 4, 3), np.float32))
+        png2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/preview.png", timeout=5).read()
+        assert png2 != png
+    finally:
+        srv.stop()
