@@ -11,10 +11,10 @@ binary (BASELINE.md: "the Go binary itself is the measurement baseline").
 
 Engines exercised per config:
   cornell          — RGB Pallas megakernel (ops.megakernel)
-  shirley          — XLA wavefront pool + MXU brute intersector
+  spectral_pyramid — spectral Pallas megakernel (ops.megakernel_spectral)
+  shirley          — RGB megakernel at the 560-prim unroll budget
   dragon           — wavefront pool + Pallas BVH4 traversal (ops.bvh_kernel)
   pbr_ibl          — wavefront pool (PBR + image textures)
-  spectral_pyramid — spectral Pallas megakernel (ops.megakernel_spectral)
 """
 
 from __future__ import annotations
