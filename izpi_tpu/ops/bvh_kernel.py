@@ -376,6 +376,9 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
     N == n_rays (static); o, d: (N, 3)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # f32 VMEM tiling is (8, 128): a smaller sublane count sends Mosaic down
+    # a pathological compile path rather than erroring.
+    assert TS >= 8, f"TS={TS} below the f32 (8,128) min tile"
     tile = TS * 128
     n_grid = -(-n_rays // tile)
     n_pad = n_grid * tile
