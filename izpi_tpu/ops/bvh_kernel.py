@@ -112,9 +112,11 @@ def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays) -> KernelScene:
 
 
 def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
+                     start_ref,              # SMEM (1,1) i32: stack root
                      bounds_ref, cc_ref,     # VMEM node tables
                      ptab_ref,               # ANY (HBM) primitive table
                      ox, oy, oz, dx, dy, dz, tm,  # VMEM (TS,128) ray planes
+                     tcap,                   # VMEM (TS,128) per-ray t cap
                      t_out, idx_out,         # VMEM (TS,128) outputs
                      stack_ref, t_ref, i_ref, pblk, sems,
                      *, n_rays: int, tile: int):
@@ -134,10 +136,13 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
     inv = tuple(1.0 / jnp.where(dc == 0.0, T_EPS, dc) for dc in d)
 
     # Dead (padding) lanes get an empty t-window so they never hit and never
-    # force node visits.
-    t_ref[:] = jnp.where(valid, jnp.minimum(t_max, big), t_min)
+    # force node visits. tcap carries a prior pass's per-ray best t (the
+    # two-pass treelet scheme); a full pass sends +inf.
+    t_ref[:] = jnp.where(valid,
+                         jnp.minimum(jnp.minimum(t_max, big), tcap[:]),
+                         t_min)
     i_ref[:] = jnp.full((TS, 128), -1, jnp.int32)
-    stack_ref[0] = 0
+    stack_ref[0] = start_ref[0, 0]
 
     br = _block_rows()
 
@@ -395,6 +400,8 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # per-program stack root (two-pass treelet priming; 0 = root)
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cc
             # The prim table must stay in HBM: leaf blocks are DMA'd on
@@ -402,7 +409,7 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
             # the (·, 16) rows (Mosaic slice-alignment failure) — besides
             # not fitting for dragon-scale scenes.
             pl.BlockSpec(memory_space=pltpu.HBM),    # ptable
-        ] + [ray_spec] * 7,
+        ] + [ray_spec] * 8,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.float32),
@@ -422,17 +429,28 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
     def plane(x):
         return jnp.pad(x, (0, n_pad - n_rays)).reshape(n_grid * TS, 128)
 
-    def run(o, d, time, t_min, t_max):
+    def run(o, d, time, t_min, t_max, starts=None, tcap=None,
+            raw_idx: bool = False):
         limits = jnp.stack(
             [jnp.asarray(t_min, jnp.float32).reshape(()),
              jnp.minimum(jnp.asarray(t_max, jnp.float32).reshape(()),
                          prim.T_MAX)]).reshape(1, 2)
+        if starts is None:
+            starts = jnp.zeros((n_grid, 1), jnp.int32)
+        else:
+            starts = jnp.asarray(starts, jnp.int32).reshape(n_grid, 1)
+        if tcap is None:
+            tcap_p = jnp.full((n_grid * TS, 128), prim.T_MAX, jnp.float32)
+        else:
+            tcap_p = plane(jnp.asarray(tcap, jnp.float32))
         args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
                 plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-                plane(time)]
-        t, idx = call(limits, ks.bounds, ks.cc, ks.pblocks, *args)
+                plane(time), tcap_p]
+        t, idx = call(limits, starts, ks.bounds, ks.cc, ks.pblocks, *args)
         t = t.reshape(-1)[:n_rays]
         idx = idx.reshape(-1)[:n_rays]
+        if raw_idx:
+            return t, idx
         # Block slot → primitive index (padding slots never win a hit).
         idx = jnp.where(idx >= 0, ks.blockmap[jnp.maximum(idx, 0)], -1)
         return t, idx
@@ -457,7 +475,23 @@ def _morton4(x, y, z):
     return spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 
 
-def sort_keys(o, d, lo, hi, treelets=None):
+def treelet_ids(o, d, treelets):
+    """Id of the nearest top-level treelet per ray (T = miss-everything)."""
+    t_lo = treelets[None, :, 0:3]          # (1, T, 3)
+    t_hi = treelets[None, :, 3:6]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)[:, None, :]
+    t0 = (t_lo - o[:, None, :]) * inv
+    t1 = (t_hi - o[:, None, :]) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tf > jnp.maximum(tn, 0.0))
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(3e38))
+    tl = jnp.argmin(entry, axis=1).astype(jnp.int32)
+    none = ~jnp.any(hit, axis=1)
+    return jnp.where(none, treelets.shape[0], tl)
+
+
+def sort_keys(o, d, lo, hi, treelets=None, tl=None):
     """Coherence sort key. Primary: the id of the NEAREST top-level treelet
     (union traversal of a tile whose rays all want the same subtree only
     visits that subtree — the single biggest lever for incoherent bounce
@@ -471,26 +505,18 @@ def sort_keys(o, d, lo, hi, treelets=None):
     m_d = _morton4(dc[:, 0], dc[:, 1], dc[:, 2])
     key = (m_d << 12) | m_o
     if treelets is not None and treelets.shape[0] > 1:
-        t_lo = treelets[None, :, 0:3]          # (1, T, 3)
-        t_hi = treelets[None, :, 3:6]
-        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)[:, None, :]
-        t0 = (t_lo - o[:, None, :]) * inv
-        t1 = (t_hi - o[:, None, :]) * inv
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit = (tf > jnp.maximum(tn, 0.0))
-        entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(3e38))
-        tl = jnp.argmin(entry, axis=1).astype(jnp.int32)
-        none = ~jnp.any(hit, axis=1)
-        tl = jnp.where(none, treelets.shape[0], tl)
+        if tl is None:
+            tl = treelet_ids(o, d, treelets)
         key = (tl << 24) | key
     return key
 
 
 def extract_treelets(bvh: bvh_build.BVH4Arrays, target: int = 48):
-    """AABBs of the top-of-tree frontier (~`target` nodes): BFS from the
-    root, repeatedly expanding the frontier until it reaches the target.
-    Returns (T, 6) f32 [lo, hi] rows for sort_keys."""
+    """Top-of-tree frontier (~`target` nodes): BFS from the root, repeatedly
+    expanding the largest-volume internal slot. Returns (boxes (T, 6) f32
+    [lo, hi] rows for sort_keys, nodes (T,) i32 — the subtree root to start
+    a primed traversal at: the child node for internal slots, the OWNING
+    node for leaf slots)."""
     bounds = np.asarray(bvh.bounds)
     child = np.asarray(bvh.child)
     count = np.asarray(bvh.count)
@@ -520,7 +546,12 @@ def extract_treelets(bvh: bvh_build.BVH4Arrays, target: int = 48):
         ch = child[ni, s]
         frontier.extend((ch, s2) for s2 in range(4) if count[ch, s2] != -1)
     boxes = np.asarray([slot_box(ni, s) for ni, s in frontier], np.float32)
-    return boxes if len(boxes) else np.zeros((1, 6), np.float32)
+    nodes = np.asarray(
+        [child[ni, s] if count[ni, s] == 0 else ni for ni, s in frontier],
+        np.int32)
+    if not len(boxes):
+        return np.zeros((1, 6), np.float32), np.zeros((1,), np.int32)
+    return boxes, nodes
 
 
 class BVHKernelIntersector:
@@ -533,7 +564,7 @@ class BVHKernelIntersector:
 
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
                  sort: bool = True, interpret: bool | None = None,
-                 treelets=None):
+                 treelets=None, treelet_nodes=None, two_pass: bool = False):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
@@ -542,6 +573,12 @@ class BVHKernelIntersector:
         self.interpret = interpret
         self.treelets = (jnp.asarray(treelets, jnp.float32)
                          if treelets is not None else None)
+        # treelet id T ("missed everything") starts at the root.
+        self.treelet_nodes = (
+            jnp.concatenate([jnp.asarray(treelet_nodes, jnp.int32),
+                             jnp.zeros(1, jnp.int32)])
+            if treelet_nodes is not None else None)
+        self.two_pass = two_pass
         self._fns = {}
 
     def _fn(self, n):
@@ -555,9 +592,38 @@ class BVHKernelIntersector:
         n = o.shape[0]
         fn = self._fn(n)
         if self.sort and n >= 2048:
-            keys = sort_keys(o, d, self.lo, self.hi, self.treelets)
+            tl = (treelet_ids(o, d, self.treelets)
+                  if self.treelets is not None and self.treelets.shape[0] > 1
+                  else None)
+            keys = sort_keys(o, d, self.lo, self.hi, self.treelets, tl=tl)
             order = jnp.argsort(keys)
-            t, idx = fn(o[order], d[order], time[order], t_min, t_max)
+            o_s, d_s, tm_s = o[order], d[order], time[order]
+            if self.two_pass and tl is not None:
+                # Pass 1 primes each ray's t from its tile's own treelet
+                # subtree (tiles are treelet-sorted, so the tile-middle
+                # ray's treelet is the majority's); pass 2 traverses from
+                # the root with those per-ray caps — the slab test then
+                # prunes everything farther than the primed hit. Any pass-1
+                # hit is a genuine intersection, so the cap is always
+                # conservative and pass 2 restores exactness.
+                tile = TS * 128
+                n_grid = -(-n // tile)
+                mids = jnp.minimum(
+                    jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2,
+                    n - 1)
+                tl_sorted = tl[order]
+                starts = self.treelet_nodes[tl_sorted[mids]]
+                t1, i1 = fn(o_s, d_s, tm_s, t_min, t_max, starts=starts,
+                            raw_idx=True)
+                t2, i2 = fn(o_s, d_s, tm_s, t_min, t_max, tcap=t1,
+                            raw_idx=True)
+                idx_raw = jnp.where(i2 >= 0, i2, i1)
+                t = jnp.where(i2 >= 0, t2, t1)
+                idx = jnp.where(
+                    idx_raw >= 0,
+                    self.ks.blockmap[jnp.maximum(idx_raw, 0)], -1)
+            else:
+                t, idx = fn(o_s, d_s, tm_s, t_min, t_max)
             # scatter-unsort (cheaper than a second argsort)
             t = jnp.zeros_like(t).at[order].set(t)
             idx = jnp.zeros_like(idx).at[order].set(idx)
@@ -568,7 +634,7 @@ class BVHKernelIntersector:
 
 
 def attach(cs, seed: int = 1, sort: bool = True,
-           interpret: bool | None = None):
+           interpret: bool | None = None, two_pass: bool = False):
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
     with the kernel's wide leaves."""
@@ -588,8 +654,9 @@ def attach(cs, seed: int = 1, sort: bool = True,
     bb_min, bb_max = bvh_build.prim_bounds(host_reordered)
     cs2 = cs._replace(prims=prim.Prims(
         *[jnp.asarray(f) for f in host_reordered]))
+    boxes, nodes = extract_treelets(arrays)
     inter = BVHKernelIntersector(
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
         sort=sort, interpret=interpret,
-        treelets=extract_treelets(arrays))
+        treelets=boxes, treelet_nodes=nodes, two_pass=two_pass)
     return cs2, inter

@@ -88,3 +88,19 @@ def test_kernel_shrinking_t_window():
         np.asarray(clipped.t)[np.asarray(clipped.hit)] <= 1e-2).all()
     hit = np.asarray(full.hit)
     assert hit.any()
+
+
+def test_two_pass_matches_single_pass():
+    """Treelet-primed two-pass traversal is exact: pass-1 caps are genuine
+    hits, pass 2 restores the closest one from the full tree."""
+    scene = _random_tri_scene(3000, seed=31)
+    cs, _ = compile_scene(scene)
+    cs_a, one = bvh_kernel.attach(cs, seed=1, interpret=True)
+    cs_b, two = bvh_kernel.attach(cs, seed=1, interpret=True, two_pass=True)
+    o, d, time = _rays_at(cs_a, 4096, seed=17)  # >=2048: sorted path
+    a = one(o, d, time, 1e-3, prim.T_MAX)
+    b = two(o, d, time, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    h = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(a.t)[h], np.asarray(b.t)[h],
+                               rtol=1e-6)
