@@ -112,7 +112,7 @@ def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays) -> KernelScene:
 
 
 def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
-                     start_ref,              # SMEM (1,1) i32: stack root
+                     start_ref,              # SMEM (n_grid,) i32: stack roots
                      bounds_ref, cc_ref,     # VMEM node tables
                      ptab_ref,               # ANY (HBM) primitive table
                      ox, oy, oz, dx, dy, dz, tm,  # VMEM (TS,128) ray planes
@@ -142,7 +142,7 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
                          jnp.minimum(jnp.minimum(t_max, big), tcap[:]),
                          t_min)
     i_ref[:] = jnp.full((TS, 128), -1, jnp.int32)
-    stack_ref[0] = start_ref[0, 0]
+    stack_ref[0] = start_ref[g]
 
     br = _block_rows()
 
@@ -400,8 +400,10 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            # per-program stack root (two-pass treelet priming; 0 = root)
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # per-program stack roots, whole array in SMEM, indexed by
+            # program_id (two-pass treelet priming; 0 = root) — per-program
+            # SMEM blocks fail the TPU block-shape rules
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cc
             # The prim table must stay in HBM: leaf blocks are DMA'd on
@@ -436,9 +438,9 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
              jnp.minimum(jnp.asarray(t_max, jnp.float32).reshape(()),
                          prim.T_MAX)]).reshape(1, 2)
         if starts is None:
-            starts = jnp.zeros((n_grid, 1), jnp.int32)
+            starts = jnp.zeros((n_grid,), jnp.int32)
         else:
-            starts = jnp.asarray(starts, jnp.int32).reshape(n_grid, 1)
+            starts = jnp.asarray(starts, jnp.int32).reshape(n_grid)
         if tcap is None:
             tcap_p = jnp.full((n_grid * TS, 128), prim.T_MAX, jnp.float32)
         else:
