@@ -57,7 +57,10 @@ def run_config(name, scene_name, nx, ny, spp, depth, sampler, background):
                   sampler_type=sampler)
     renderer.render(None, nx, ny, spp, **kwargs)  # warmup/compile
     res = renderer.render(None, nx, ny, spp, **kwargs)
-    return res.mrays_per_sec
+    # Surface procedural stand-ins IN the parsed record, not just stderr:
+    # a BENCH line for a placeholder scene must say so itself.
+    placeholder = bool(ctx.meta.placeholder_assets)
+    return res.mrays_per_sec, placeholder
 
 
 def main():
@@ -79,19 +82,23 @@ def main():
                   flush=True)
             continue
         try:
-            m = run_config(name, scene_name, nx, ny, spp, depth, sampler, bg)
+            m, placeholder = run_config(name, scene_name, nx, ny, spp, depth,
+                                        sampler, bg)
         except Exception as exc:  # noqa: BLE001 — emit the failure, keep going
             print(json.dumps({"metric": f"{name}_mrays_per_sec",
                               "error": f"{type(exc).__name__}: {exc}"[:200]}),
                   flush=True)
             continue
         results[name] = m
-        print(json.dumps({
+        rec = {
             "metric": f"{name}_mrays_per_sec",
             "value": round(m, 3),
             "unit": "Mrays/s",
             "vs_baseline": round(m / PER_CHIP_TARGET_MRAYS, 4),
-        }), flush=True)
+        }
+        if placeholder:
+            rec["placeholder"] = True
+        print(json.dumps(rec), flush=True)
 
     if results:
         geo = math.exp(sum(math.log(max(v, 1e-9)) for v in results.values())

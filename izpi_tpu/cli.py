@@ -98,6 +98,16 @@ def main(argv=None) -> int:
         pid = args.process_id
         if pid is None:
             pid = 0 if args.role == "leader" else None
+        if pid is None and args.coordinator:
+            # Bare-host worker: jax.distributed cannot auto-detect a rank
+            # outside a managed environment (Cloud TPU/GKE metadata). Fail
+            # with the fix instead of a deep runtime error.
+            auto_env = ("CLOUD_TPU_TASK_ID", "TPU_WORKER_ID", "JAX_PROCESS_ID")
+            if not any(os.environ.get(k) for k in auto_env):
+                raise SystemExit(
+                    "--role worker with --coordinator on a bare host needs "
+                    "an explicit rank: pass --process-id <rank> (1..N-1; "
+                    "the leader is 0), or set JAX_PROCESS_ID")
         n_proc = dist.initialize_multihost(
             coordinator=args.coordinator,
             num_processes=args.num_processes, process_id=pid)

@@ -363,10 +363,15 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
 
         # Writes at (sp + off) only touch dead slots; off advances only on
         # a real push, so a later push overwrites a non-push's dead write.
+        # A non-push's dead write can land one PAST the final live top
+        # (sp + pushes), so clamp to the last slot: with validate() capping
+        # worst-case occupancy at KSTACK-1 (attach passes stack_depth=
+        # KSTACK-1), the clamped index never clobbers a live entry.
         off = jnp.int32(0)
         for s in range(4):
             _tn, child, push = items[s]
-            stack_ref[sp + off] = jnp.where(push != 0, child, 0)
+            stack_ref[jnp.minimum(sp + off, KSTACK - 1)] = jnp.where(
+                push != 0, child, 0)
             off = off + push
         return sp + off
 
@@ -465,7 +470,8 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
 # Morton of the origin inside the scene AABB interleaved with 4-bit-per-axis
 # Morton of the unit direction — origin alone degenerates for camera rays
 # (one shared origin → scanline-strip tiles with wide frusta); direction
-# alone degenerates for diffuse bounces. Origin bits lead (major key).
+# alone degenerates for diffuse bounces. Below the treelet id (top key when
+# present), DIRECTION bits lead: key = (m_d << 12) | m_o.
 # --------------------------------------------------------------------------
 
 
@@ -477,8 +483,11 @@ def _morton4(x, y, z):
     return spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 
 
-def treelet_ids(o, d, treelets):
-    """Id of the nearest top-level treelet per ray (T = miss-everything)."""
+def treelet_entries(o, d, treelets):
+    """Per-ray conservative entry distance into every top-level treelet box
+    — (N, T) f32, +inf where the ray misses the box. max(tn, 0) lower-bounds
+    any hit t inside the box (origin-inside boxes give 0), which makes
+    "entry >= best_t ⇒ skip" exact in the re-binned traversal."""
     t_lo = treelets[None, :, 0:3]          # (1, T, 3)
     t_hi = treelets[None, :, 3:6]
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)[:, None, :]
@@ -487,9 +496,14 @@ def treelet_ids(o, d, treelets):
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     hit = (tf > jnp.maximum(tn, 0.0))
-    entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(3e38))
+    return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(jnp.inf))
+
+
+def treelet_ids(o, d, treelets):
+    """Id of the nearest top-level treelet per ray (T = miss-everything)."""
+    entry = treelet_entries(o, d, treelets)
     tl = jnp.argmin(entry, axis=1).astype(jnp.int32)
-    none = ~jnp.any(hit, axis=1)
+    none = ~jnp.any(jnp.isfinite(entry), axis=1)
     return jnp.where(none, treelets.shape[0], tl)
 
 
@@ -566,7 +580,8 @@ class BVHKernelIntersector:
 
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
                  sort: bool = True, interpret: bool | None = None,
-                 treelets=None, treelet_nodes=None, two_pass: bool = False):
+                 treelets=None, treelet_nodes=None, two_pass: bool = False,
+                 rebin: bool = False, rounds: int = 6):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
@@ -581,6 +596,8 @@ class BVHKernelIntersector:
                              jnp.zeros(1, jnp.int32)])
             if treelet_nodes is not None else None)
         self.two_pass = two_pass
+        self.rebin = rebin
+        self.rounds = rounds
         self._fns = {}
 
     def _fn(self, n):
@@ -590,9 +607,86 @@ class BVHKernelIntersector:
             self._fns[n] = fn
         return fn
 
+    def _rebin_traverse(self, fn, o, d, time, t_min, t_max, n):
+        """Multi-round treelet-re-binned traversal — the incoherent-ray fast
+        path. Union traversal saturates toward the whole tree when one
+        1024-lane tile wants rays everywhere (docs/PERF.md); instead, rays
+        are BINNED: each round sorts pending rays by the id of their nearest
+        unvisited treelet (per-ray itinerary = treelets ordered by entry
+        distance) and every tile traverses ONLY its treelet's subtree
+        (starts = subtree root), so a tile never sees nodes outside the
+        subtree its rays actually want. A ray finishes when its next
+        treelet's conservative entry distance is >= its best hit t (exact:
+        entry lower-bounds every t in the subtree). Rays the rounds didn't
+        finish (tile-boundary minorities, >rounds crossings) get a full-tree
+        cleanup pass with their t caps — every other lane rides along with
+        an empty window, so cleanup cost is proportional to the stragglers.
+
+        Replaces the measured-slower two-pass t-cap priming (commit 935f009):
+        per-ray caps cannot shrink a tile UNION, but subtree-confined starts
+        shrink the visited set itself. The per-goroutine analog it answers is
+        the reference's exact per-ray stack walk (bvh4.go:49-163)."""
+        tile = TS * 128
+        n_grid = -(-n // tile)
+        T = self.treelets.shape[0]
+        entry = treelet_entries(o, d, self.treelets)          # (n, T)
+        itin = jnp.argsort(entry, axis=1).astype(jnp.int32)   # itinerary
+        entry_sorted = jnp.take_along_axis(entry, itin, axis=1)
+        morton = sort_keys(o, d, self.lo, self.hi)            # 24-bit key
+        mids = jnp.minimum(
+            jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
+        ray_tile = jnp.arange(n, dtype=jnp.int32) // tile     # sorted slots
+
+        best_t = jnp.full((n,), prim.T_MAX, jnp.float32)
+        best_raw = jnp.full((n,), -1, jnp.int32)
+        pos = jnp.zeros((n,), jnp.int32)
+
+        def accept(order, t_r, i_r, best_t, best_raw):
+            t_u = jnp.zeros_like(t_r).at[order].set(t_r)
+            i_u = jnp.full_like(i_r, -1).at[order].set(i_r)
+            improved = (i_u >= 0) & (t_u < best_t)
+            return (jnp.where(improved, t_u, best_t),
+                    jnp.where(improved, i_u, best_raw))
+
+        for _ in range(self.rounds):
+            posc = jnp.minimum(pos, T - 1)[:, None]
+            cur_tl = jnp.take_along_axis(itin, posc, axis=1)[:, 0]
+            cur_entry = jnp.take_along_axis(entry_sorted, posc, axis=1)[:, 0]
+            pending = (pos < T) & (cur_entry < best_t)
+            key = jnp.where(pending, cur_tl, T)
+            order = jnp.argsort((key << 24) | morton)
+            tile_tl = key[order][mids]
+            starts = self.treelet_nodes[tile_tl]
+            tcap = jnp.where(pending[order], best_t[order], t_min)
+            t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
+                          starts=starts, tcap=tcap, raw_idx=True)
+            best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
+            # Advance the itinerary only where the ray's tile really did
+            # traverse the ray's own treelet (tile-boundary minorities and
+            # dead tiles retry next round or hit the cleanup pass).
+            ray_tl = jnp.zeros_like(key).at[order].set(tile_tl[ray_tile])
+            pos = pos + (pending & (ray_tl == cur_tl)).astype(jnp.int32)
+
+        posc = jnp.minimum(pos, T - 1)[:, None]
+        cur_entry = jnp.take_along_axis(entry_sorted, posc, axis=1)[:, 0]
+        pending = (pos < T) & (cur_entry < best_t)
+        order = jnp.argsort(jnp.where(pending, morton, 1 << 26))
+        tcap = jnp.where(pending[order], best_t[order], t_min)
+        t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
+                      tcap=tcap, raw_idx=True)
+        best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
+        idx = jnp.where(best_raw >= 0,
+                        self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
+        return best_t, idx
+
     def __call__(self, o, d, time, t_min, t_max):
         n = o.shape[0]
         fn = self._fn(n)
+        if (self.rebin and n >= 2048 and self.treelets is not None
+                and self.treelets.shape[0] > 1):
+            t, idx = self._rebin_traverse(fn, o, d, time, t_min, t_max, n)
+            hit = idx >= 0
+            return prim.finalize_hit(self.cs.prims, o, d, time, t, idx, hit)
         if self.sort and n >= 2048:
             tl = (treelet_ids(o, d, self.treelets)
                   if self.treelets is not None and self.treelets.shape[0] > 1
@@ -635,11 +729,20 @@ class BVHKernelIntersector:
         return prim.finalize_hit(self.cs.prims, o, d, time, t, idx, hit)
 
 
+# Trees with at least this many nodes default to the re-binned traversal:
+# below it a single sorted union pass visits the whole (small) tree anyway
+# and the extra sorts/launches are pure overhead.
+REBIN_NODES = 4096
+
+
 def attach(cs, seed: int = 1, sort: bool = True,
-           interpret: bool | None = None, two_pass: bool = False):
+           interpret: bool | None = None, two_pass: bool = False,
+           rebin: bool | None = None, rounds: int = 6,
+           treelet_target: int = 48):
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
-    with the kernel's wide leaves."""
+    with the kernel's wide leaves. rebin=None auto-enables the multi-round
+    treelet-re-binned traversal for dragon-class trees (>= REBIN_NODES)."""
     # One bulk device→host transfer up front, everything host-side (the
     # build, reorder, bounds and packing are numpy), one upload at the end
     # — per-array round trips through a tunneled device cost minutes at
@@ -647,7 +750,10 @@ def attach(cs, seed: int = 1, sort: bool = True,
     host_prims = prim.Prims(*jax.device_get(list(cs.prims)))
     arrays = bvh_build.build_bvh4(host_prims, seed, leaf_size=KERNEL_LEAF,
                                   method="sah")
-    errors = bvh_build.validate(arrays, host_prims.count, stack_depth=KSTACK)
+    # KSTACK-1: the kernel's dead-slot write clamps to index KSTACK-1, so a
+    # tree whose worst-case occupancy is exactly KSTACK could clobber it.
+    errors = bvh_build.validate(arrays, host_prims.count,
+                                stack_depth=KSTACK - 1)
     if errors:
         raise AssertionError(f"BVH4 validation failed: {errors[:5]}")
     idx = np.asarray(arrays.prim_order)
@@ -656,9 +762,12 @@ def attach(cs, seed: int = 1, sort: bool = True,
     bb_min, bb_max = bvh_build.prim_bounds(host_reordered)
     cs2 = cs._replace(prims=prim.Prims(
         *[jnp.asarray(f) for f in host_reordered]))
-    boxes, nodes = extract_treelets(arrays)
+    boxes, nodes = extract_treelets(arrays, target=treelet_target)
+    if rebin is None:
+        rebin = arrays.child.shape[0] >= REBIN_NODES
     inter = BVHKernelIntersector(
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
         sort=sort, interpret=interpret,
-        treelets=boxes, treelet_nodes=nodes, two_pass=two_pass)
+        treelets=boxes, treelet_nodes=nodes, two_pass=two_pass,
+        rebin=rebin, rounds=rounds)
     return cs2, inter

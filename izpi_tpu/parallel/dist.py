@@ -153,9 +153,17 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
                        settings: Optional[path_mod.RenderSettings] = None,
                        seed: int = 0,
                        sampler_type: str = "colour",
-                       context=None) -> renderer_mod.RenderResult:
+                       context=None,
+                       warmup: bool = False) -> renderer_mod.RenderResult:
     """Whole-image render with samples sharded across the mesh (the
-    wavefront pool on every device; spectral supported)."""
+    wavefront pool on every device; spectral supported).
+
+    spp is rounded UP to a multiple of the device count (every device must
+    run the same static-shape pool; the extra samples only reduce variance).
+    The single production run is timed including compile (reported in
+    RenderResult.phases like renderer.render); pass warmup=True only for
+    benchmarking, where a separate compile run keeps the timing honest —
+    it doubles the device work, so it is never the CLI path."""
     import time as time_mod
 
     settings = settings or path_mod.RenderSettings()
@@ -164,21 +172,22 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         context = renderer_mod.RenderContext(scene)
     cs, meta, intersect = context.cs, context.meta, context.intersect
     n_dev = mesh.devices.size
-    if spp % n_dev:
-        raise ValueError(f"spp {spp} must divide evenly over {n_dev} devices")
+    spp_eff = -(-spp // n_dev) * n_dev
     spectral = meta.spectral or sampler_type == "spectral"
 
     run = build_pool_renderer(cs, meta, settings, intersect, nx, ny, mesh,
-                              spp // n_dev, spectral=spectral)
+                              spp_eff // n_dev, spectral=spectral)
     key = rng.render_key(seed)
-    acc, rays = run(key)  # compile + run
-    jax.block_until_ready(acc)
+    if warmup:
+        jax.block_until_ready(run(key))
     t0 = time_mod.perf_counter()
     acc, rays = run(key)
     acc = np.asarray(acc)
     seconds = time_mod.perf_counter() - t0
+    phases = {"render_incl_compile" if not warmup else "render":
+              round(seconds, 4)}
 
-    canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
+    canvas = (acc / spp_eff).reshape(ny, nx, 3)[::-1]
     if spectral:
         from izpi_tpu.spectral import convert
 
@@ -186,9 +195,9 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         image = convert.xyz_to_acescg(xyz, meta.exposure).astype(np.float32)
         return renderer_mod.RenderResult(
             image=image, rays_traced=int(rays), seconds=seconds,
-            xyz=xyz.astype(np.float32))
+            xyz=xyz.astype(np.float32), phases=phases)
     return renderer_mod.RenderResult(
-        image=canvas, rays_traced=int(rays), seconds=seconds)
+        image=canvas, rays_traced=int(rays), seconds=seconds, phases=phases)
 
 
 def make_sharded_intersector(cs, mesh: Mesh):
@@ -283,7 +292,8 @@ def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,
     for c in device_counts:
         mesh = make_mesh(c)
         res = render_distributed(scene, nx, ny, spp, mesh=mesh, seed=seed,
-                                 settings=settings, context=context)
+                                 settings=settings, context=context,
+                                 warmup=True)
         m = res.mrays_per_sec
         if base is None:
             base = m

@@ -127,11 +127,21 @@ def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
             # Pallas union-traversal kernel: VMEM-resident nodes, DMA'd
             # leaf blocks (ops.bvh_kernel) — the only path that scales to
             # dragon-class meshes on TPU (the jnp gather traversal is kept
-            # as the CPU/test path and correctness oracle).
-            from izpi_tpu.ops import bvh_kernel
+            # as the CPU/test path and correctness oracle). A Mosaic compile
+            # or build-validation failure falls back to the jnp traversal
+            # with a warning, mirroring the megakernel's _mega_broken
+            # pattern — a render must degrade, not abort.
+            try:
+                from izpi_tpu.ops import bvh_kernel
 
-            cs, intersect = bvh_kernel.attach(cs, seed=seed)
-            return cs, meta, intersect
+                cs, intersect = bvh_kernel.attach(cs, seed=seed)
+                return cs, meta, intersect
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"Pallas BVH kernel attach failed; falling back to the "
+                    f"jnp gather traversal: {type(exc).__name__}: {exc}")
         from izpi_tpu.accel import traverse
 
         cs, intersect = traverse.attach(cs, seed=seed)

@@ -90,6 +90,47 @@ def test_kernel_shrinking_t_window():
     assert hit.any()
 
 
+def test_rebin_matches_single_pass():
+    """Multi-round treelet re-binned traversal is exact: every accepted hit
+    is genuine and a ray only stops once its next treelet's conservative
+    entry distance exceeds its best t; the cleanup pass covers stragglers."""
+    scene = _random_tri_scene(3000, seed=41)
+    cs, _ = compile_scene(scene)
+    cs_a, one = bvh_kernel.attach(cs, seed=1, interpret=True, rebin=False)
+    cs_b, reb = bvh_kernel.attach(cs, seed=1, interpret=True, rebin=True,
+                                  rounds=3)
+    o, d, time = _rays_at(cs_a, 4096, seed=19)  # >=2048: binned path
+    a = one(o, d, time, 1e-3, prim.T_MAX)
+    b = reb(o, d, time, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    h = np.asarray(a.hit)
+    assert h.any()
+    np.testing.assert_allclose(np.asarray(a.t)[h], np.asarray(b.t)[h],
+                               rtol=1e-6)
+
+
+def test_rebin_matches_brute_mixed_kinds():
+    """Re-binned traversal vs brute force on a mixed-kind scene (rects +
+    sphere + tris) with interior-origin rays exercising entry==0 bins."""
+    from izpi_tpu.scene.library.cornell import cornell_box
+
+    scene = cornell_box()
+    cs, _ = compile_scene(scene)
+    cs2, reb = bvh_kernel.attach(cs, seed=1, interpret=True, rebin=True,
+                                 rounds=2, treelet_target=8)
+    rs = np.random.RandomState(13)
+    n = 2048
+    o = jnp.asarray(rs.rand(n, 3) * 555.0, jnp.float32)
+    d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    time = jnp.asarray(rs.rand(n), jnp.float32)
+    got = reb(o, d, time, 1e-3, prim.T_MAX)
+    want = prim.intersect_brute(cs2.prims, o, d, time, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_two_pass_matches_single_pass():
     """Treelet-primed two-pass traversal is exact: pass-1 caps are genuine
     hits, pass 2 restores the closest one from the full tree."""

@@ -32,21 +32,22 @@ def test_native_large_build_valid():
     assert (arrays.count <= bvh_build.LEAF_SIZE).all()
 
 
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
 def test_sah_builders_match_and_validate():
     """Binned-SAH build: native C++ vs numpy node-for-node, plus structural
-    validation (the kernel's quality tree, bvh_build._build_binary_sah)."""
+    validation (the kernel's quality tree, bvh_build._build_binary_sah).
+    The native side calls native.build directly — build_bvh4_from_bounds
+    silently falls back to numpy when the toolchain is missing, which would
+    make this comparison vacuous."""
     rs = np.random.RandomState(7)
     n = 5000
     lo = rs.rand(n, 3) * 50
     hi = lo + rs.rand(n, 3)
-    a = bvh_build.build_bvh4_from_bounds(lo, hi, 1, use_native=True,
-                                         leaf_size=16, method="sah")
+    raw = native.build(lo, hi, seed=1, leaf_size=16, method="sah")
+    assert raw is not None
+    a = bvh_build.BVH4Arrays(*raw)
     b = bvh_build.build_bvh4_from_bounds(lo, hi, 1, use_native=False,
                                          leaf_size=16, method="sah")
-    if a is None:
-        import pytest
-
-        pytest.skip("native builder unavailable")
     assert np.array_equal(a.child, b.child)
     assert np.array_equal(a.count, b.count)
     assert np.array_equal(a.prim_order, b.prim_order)
