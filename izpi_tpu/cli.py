@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total process count for multi-host rendering")
     p.add_argument("--process-id", type=int, default=None,
                    help="this process's rank (leader = 0)")
+    p.add_argument("--shard-prims", action="store_true",
+                   help="shard the primitive SoA 1/N per device instead of "
+                        "replicating the scene (the >HBM-scene mode; "
+                        "samples replicated, closest hit reduced over ICI)")
     p.add_argument("--num-workers", type=int, default=0,
                    help="devices to use (0 = all)")
     p.add_argument("--profile-dir", default=None,
@@ -144,7 +148,8 @@ def main(argv=None) -> int:
         mesh = dist.make_mesh(args.num_workers or None)
         res = dist.render_distributed(
             scene, args.x, args.y, args.samples, mesh=mesh,
-            settings=settings, seed=args.seed, sampler_type=args.sampler)
+            settings=settings, seed=args.seed, sampler_type=args.sampler,
+            shard_prims=args.shard_prims)
     else:
         res = renderer.render(
             scene, args.x, args.y, args.samples, settings=settings,

@@ -294,6 +294,11 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
     n = o.shape[0]
     bg = jnp.asarray(settings.background, jnp.float32)
 
+    # Dead pool slots carry their last ray; traversal would still pay full
+    # price for them (the union kernel in particular). Park them far outside
+    # every scene so they miss instantly — all their outputs are masked by
+    # `active` below anyway.
+    o = jnp.where(active[:, None], o, jnp.float32(3e30))
     rec = intersect(o, d, time, T_MIN, prim.T_MAX)
     if meta.n_media > 0:
         rec = _apply_media(cs, meta, rec, o, d, time, keys, depth)
@@ -423,6 +428,8 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     (o, d, thru, rad, active, nrays, bg_val)."""
     from izpi_tpu.spectral import spd as spd_mod
 
+    # Park dead slots outside the scene (see bounce_rgb).
+    o = jnp.where(active[:, None], o, jnp.float32(3e30))
     rec = intersect(o, d, time, T_MIN, prim.T_MAX)
     if meta.n_media > 0:
         rec = _apply_media(cs, meta, rec, o, d, time, keys, depth)

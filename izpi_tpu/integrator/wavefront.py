@@ -29,7 +29,11 @@ from izpi_tpu.integrator import path as path_mod
 from izpi_tpu.spectral import cie
 
 LAMBDA_SALT = 0x7A3B
-LOOP_CHUNK = 64
+# Bounces between pool-drained checks. Each check is a host sync (~60 ms
+# through a tunneled chip) but each POOL ITERATION costs tens of ms on
+# heavy scenes (the BVH kernel per bounce) — at 64 the drain tail wasted up
+# to 63 all-dead full-price iterations, ~3× a low-spp dragon render.
+LOOP_CHUNK = 8
 
 
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,

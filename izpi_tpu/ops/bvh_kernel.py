@@ -46,7 +46,10 @@ from izpi_tpu.accel import bvh_build
 from izpi_tpu.geometry import primitives as prim
 
 TS = 8                 # sublanes per ray tile → 8×128 = 1024 rays/program
-KSTACK = 64            # shared-stack depth; validated at build
+MULTI_K = 16           # max traversal roots a tile can start with
+# Shared-stack depth: 64 for the descent (validated at build) + MULTI_K-1
+# parked sibling roots a multi-root start can leave beneath the descent.
+KSTACK = 64 + MULTI_K
 KERNEL_LEAF = 16       # primitives per leaf block (one DMA)
 
 
@@ -57,8 +60,14 @@ T_EPS = 1e-30
 
 
 class KernelScene(NamedTuple):
-    bounds: jax.Array    # (Nn, 24) f32 — node slab SoA
-    cc: jax.Array        # (Nn, 8) i32 — child[4] (leaf: block id) + count[4]
+    ntab: jax.Array      # (Nn, 128) f32 — one LANE-DENSE row per node:
+                         #   lanes 0..23 slab bounds SoA, 24..27 child[4]
+                         #   (leaf: block id) and 28..31 count[4], both
+                         #   stored as exact f32 (values < 2^24). The row is
+                         #   a full 128-lane vector so the one-shot
+                         #   HBM→VMEM load is a contiguous DMA — a (Nn, 24)
+                         #   layout DMAs 96 B per row and costs ~30 ms per
+                         #   launch at dragon scale (measured).
     pblocks: jax.Array   # (Nb*2, 128) f32 — one (2,128) block per leaf:
                          #   16 prims × 16 floats (g0,g1,g2,g3,kind,pad³)
     blockmap: jax.Array  # (Nb*16,) i32 — block slot → prim index (-1 = pad)
@@ -102,10 +111,15 @@ def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays) -> KernelScene:
             start, start + cnt)
         child[ni, s] = b  # leaf child now indexes its block
 
-    cc = np.concatenate([child, count], axis=1).astype(np.int32)
+    n_nodes = child.shape[0]
+    assert n_nodes < (1 << 24) and n_blocks < (1 << 24), \
+        "node/block ids must stay exactly representable in f32"
+    ntab = np.zeros((n_nodes, 128), np.float32)
+    ntab[:, :24] = bvh.bounds
+    ntab[:, 24:28] = child.astype(np.float32)
+    ntab[:, 28:32] = count.astype(np.float32)
     return KernelScene(
-        bounds=jnp.asarray(bvh.bounds),
-        cc=jnp.asarray(cc),
+        ntab=jnp.asarray(ntab),
         pblocks=jnp.asarray(rows.reshape(n_blocks * _block_rows(), 128)),
         blockmap=jnp.asarray(blockmap),
     )
@@ -113,16 +127,29 @@ def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays) -> KernelScene:
 
 def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
                      start_ref,              # SMEM (n_grid,) i32: stack roots
-                     bounds_ref, cc_ref,     # VMEM node tables
+                     ntab_hbm,               # ANY (HBM) packed node table
                      ptab_ref,               # ANY (HBM) primitive table
                      ox, oy, oz, dx, dy, dz, tm,  # VMEM (TS,128) ray planes
                      tcap,                   # VMEM (TS,128) per-ray t cap
                      t_out, idx_out,         # VMEM (TS,128) outputs
                      stack_ref, t_ref, i_ref, pblk, sems,
+                     ntab_ref, nsems,
                      *, n_rays: int, tile: int):
     g = pl.program_id(0)
     t_min = limits_ref[0, 0]
     t_max = limits_ref[0, 1]
+
+    # The packed (Nn, 128) node table loads HBM→VMEM ONCE per launch: the
+    # TPU grid is sequential on one core and scratch persists across steps.
+    # Both the per-step input copies Pallas would insert for a VMEM input
+    # spec AND a one-shot strided DMA of a (Nn, 24) layout measured ~30-40ms
+    # of FIXED cost per launch at dragon scale — 3× the actual traversal
+    # work; the lane-dense row makes this a single contiguous ~19 MB DMA.
+    @pl.when(g == 0)
+    def _():
+        cb = pltpu.make_async_copy(ntab_hbm, ntab_ref, nsems.at[0])
+        cb.start()
+        cb.wait()
 
     row = jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 1)
@@ -142,7 +169,18 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
                          jnp.minimum(jnp.minimum(t_max, big), tcap[:]),
                          t_min)
     i_ref[:] = jnp.full((TS, 128), -1, jnp.int32)
-    stack_ref[0] = start_ref[g]
+
+    # Multi-root start: push every valid (>= 0) root for this tile. A
+    # re-binned tile passes one subtree root; the exact cleanup pass pushes
+    # the union of its rays' remaining treelet roots so stragglers never
+    # force a full-tree walk. Invalid slots write a dead 0 that a later
+    # valid push overwrites (sp only advances on valid roots).
+    sp0 = jnp.int32(0)
+    for k in range(MULTI_K):
+        v = start_ref[g, k]
+        ok_k = v >= 0
+        stack_ref[jnp.minimum(sp0, KSTACK - 1)] = jnp.where(ok_k, v, 0)
+        sp0 = sp0 + ok_k.astype(jnp.int32)
 
     br = _block_rows()
 
@@ -296,8 +334,7 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
     def body(sp):
         node = stack_ref[sp - 1]
         sp = sp - 1
-        brow = bounds_ref[pl.ds(node, 1), :]
-        cc = cc_ref[pl.ds(node, 1), :]
+        brow = ntab_ref[pl.ds(node, 1), :]
         t_best = t_ref[:]
         big32 = jnp.float32(3.0e38)
 
@@ -320,22 +357,26 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
             anyhits.append(jnp.max(jnp.where(hit_s, 1, 0)) > 0)
             tnmins.append(jnp.min(jnp.where(hit_s, tn, big32)))
 
+        # child[4] and count[4] ride lanes 24..31 of the node row as exact
+        # f32; scalar casts recover the ints.
+        childs = [brow[0, 24 + s].astype(jnp.int32) for s in range(4)]
+        cnts = [brow[0, 28 + s].astype(jnp.int32) for s in range(4)]
+
         # Leaf slots: kick off all DMAs, then test (overlap copy with test).
         leaf_flags = []
         for s in range(4):
-            cnt = cc[0, 4 + s]
-            is_leaf = anyhits[s] & (cnt > 0)
+            is_leaf = anyhits[s] & (cnts[s] > 0)
             leaf_flags.append(is_leaf)
 
             @pl.when(is_leaf)
             def _(s=s):
-                leaf_dma(cc[0, s], s).start()
+                leaf_dma(childs[s], s).start()
 
         for s in range(4):
             @pl.when(leaf_flags[s])
             def _(s=s):
-                leaf_dma(cc[0, s], s).wait()
-                prim_block_test(s, cc[0, s] * KERNEL_LEAF)
+                leaf_dma(childs[s], s).wait()
+                prim_block_test(s, childs[s] * KERNEL_LEAF)
 
         # Internal slots: push NEAR-FIRST (farthest pushed first so the
         # nearest child pops next — the union analog of the reference's
@@ -343,8 +384,8 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
         # sorting network orders (tn, child, push) tuples descending by tn.
         items = []
         for s in range(4):
-            push = anyhits[s] & (cc[0, 4 + s] == 0)
-            items.append((tnmins[s], cc[0, s], push.astype(jnp.int32)))
+            push = anyhits[s] & (cnts[s] == 0)
+            items.append((tnmins[s], childs[s], push.astype(jnp.int32)))
 
         def cmp_exchange(a, b):
             swap = items[a][0] < items[b][0]
@@ -375,7 +416,7 @@ def _traverse_kernel(limits_ref,             # SMEM (1,2) f32: t_min, t_max
             off = off + push
         return sp + off
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
     t_out[:] = t_ref[:]
     idx_out[:] = jnp.where(i_ref[:] >= 0, i_ref[:], -1)
 
@@ -393,10 +434,12 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
     n_grid = -(-n_rays // tile)
     n_pad = n_grid * tile
 
-    # Pallas double-buffers inputs (even constant-index ones), so budget
-    # ~2.5× the node tables plus headroom for ray planes and scratch.
-    nodes_bytes = (ks.bounds.size + ks.cc.size) * 4
-    vmem_limit = min(int(nodes_bytes * 2.5) + (8 << 20), 100 << 20)
+    # The packed node table lives in VMEM scratch (one contiguous DMA per
+    # launch, see kernel): Nn×128×4 B — ~19 MB at dragon scale (36.8k
+    # nodes). Scenes past ~200k nodes (~5M tris at leaf 16) would exceed
+    # the chip's VMEM and need a 4-nodes-per-row packing.
+    nodes_bytes = ks.ntab.size * 4
+    vmem_limit = min(nodes_bytes + (16 << 20), 110 << 20)
 
     ray_spec = pl.BlockSpec((TS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -409,8 +452,10 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
             # program_id (two-pass treelet priming; 0 = root) — per-program
             # SMEM blocks fail the TPU block-shape rules
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bounds
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cc
+            # The node table stays in HBM and is DMA'd to scratch at step 0:
+            # a VMEM input spec re-copies it EVERY grid step (~40 ms/launch
+            # fixed cost at dragon scale).
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ntab
             # The prim table must stay in HBM: leaf blocks are DMA'd on
             # demand, and a VMEM placement would impose 128-lane tiling on
             # the (·, 16) rows (Mosaic slice-alignment failure) — besides
@@ -428,6 +473,8 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
             pltpu.VMEM((TS, 128), jnp.int32),
             pltpu.VMEM((4, _block_rows(), 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM(tuple(ks.ntab.shape), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
@@ -438,14 +485,21 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
 
     def run(o, d, time, t_min, t_max, starts=None, tcap=None,
             raw_idx: bool = False):
+        """starts: None (root), (n_grid,) single roots, or (n_grid, K<=
+        MULTI_K) multi-roots padded with -1."""
         limits = jnp.stack(
             [jnp.asarray(t_min, jnp.float32).reshape(()),
              jnp.minimum(jnp.asarray(t_max, jnp.float32).reshape(()),
                          prim.T_MAX)]).reshape(1, 2)
         if starts is None:
             starts = jnp.zeros((n_grid,), jnp.int32)
-        else:
-            starts = jnp.asarray(starts, jnp.int32).reshape(n_grid)
+        starts = jnp.asarray(starts, jnp.int32)
+        if starts.ndim == 1:
+            starts = starts.reshape(n_grid, 1)
+        k = starts.shape[1]
+        assert k <= MULTI_K, (k, MULTI_K)
+        starts = jnp.pad(starts, ((0, 0), (0, MULTI_K - k)),
+                         constant_values=-1)
         if tcap is None:
             tcap_p = jnp.full((n_grid * TS, 128), prim.T_MAX, jnp.float32)
         else:
@@ -453,7 +507,7 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
         args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
                 plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
                 plane(time), tcap_p]
-        t, idx = call(limits, starts, ks.bounds, ks.cc, ks.pblocks, *args)
+        t, idx = call(limits, starts, ks.ntab, ks.pblocks, *args)
         t = t.reshape(-1)[:n_rays]
         idx = idx.reshape(-1)[:n_rays]
         if raw_idx:
@@ -529,45 +583,90 @@ def sort_keys(o, d, lo, hi, treelets=None, tl=None):
 
 def extract_treelets(bvh: bvh_build.BVH4Arrays, target: int = 48):
     """Top-of-tree frontier (~`target` nodes): BFS from the root, repeatedly
-    expanding the largest-volume internal slot. Returns (boxes (T, 6) f32
-    [lo, hi] rows for sort_keys, nodes (T,) i32 — the subtree root to start
-    a primed traversal at: the child node for internal slots, the OWNING
-    node for leaf slots)."""
+    expanding the internal slot whose SUBTREE has the most nodes — the
+    quantity a re-binned tile actually pays for (union traversal cost of the
+    subtree). Volume-based expansion looked reasonable but is exactly wrong
+    for dragon-in-a-box scenes: the near-empty wall slots have enormous
+    boxes while the 871k-triangle dragon hides in one small-volume slot, so
+    the "treelets" degenerate to {walls…, whole-dragon} and confinement
+    buys nothing. Returns (boxes (T, 6) f32 [lo, hi] rows for sort_keys,
+    nodes (T,) i32 — the subtree root to start a confined traversal at —
+    and the arrays, EXTENDED with one synthetic single-slot node per
+    frontier LEAF slot: starting a confined traversal at a leaf slot's
+    owning node would re-traverse the owner's whole subtree (for a leaf
+    directly on the root, the entire tree), so each such slot gets its own
+    node whose slot 0 is that leaf and whose other slots are the builder's
+    always-miss empties. Synthetic nodes are unreachable from the root, so
+    full-tree traversals are unaffected; pack_scene gives their leaf slot a
+    duplicate primitive block, which is correctness-neutral (same t wins)."""
     bounds = np.asarray(bvh.bounds)
     child = np.asarray(bvh.child)
     count = np.asarray(bvh.count)
+    n_nodes = child.shape[0]
+
+    # Subtree node counts, children-first (the build guarantees child > ni).
+    size = np.ones(n_nodes, np.int64)
+    for ni in range(n_nodes - 1, -1, -1):
+        for s in range(4):
+            if count[ni, s] == 0:
+                size[ni] += size[child[ni, s]]
 
     def slot_box(ni, s):
         lo = [bounds[ni, ax * 4 + s] for ax in range(3)]
         hi = [bounds[ni, 12 + ax * 4 + s] for ax in range(3)]
         return lo + hi
 
+    def slot_size(ni, s):
+        return size[child[ni, s]] if count[ni, s] == 0 else 0
+
     # frontier entries: (node, slot) child slots of expanded nodes
     frontier = [(0, s) for s in range(4) if count[0, s] != -1]
     while len(frontier) < target:
-        # expand the internal slot with the largest box volume
         best = None
         for i, (ni, s) in enumerate(frontier):
-            if count[ni, s] != 0:
+            sz = slot_size(ni, s)
+            if sz <= 0:
                 continue
-            b = slot_box(ni, s)
-            vol = max(b[3] - b[0], 0) * max(b[4] - b[1], 0) * \
-                max(b[5] - b[2], 0)
-            if best is None or vol > best[0]:
-                best = (vol, i)
+            if best is None or sz > best[0]:
+                best = (sz, i)
         if best is None:
             break
         _, i = best
         ni, s = frontier.pop(i)
         ch = child[ni, s]
         frontier.extend((ch, s2) for s2 in range(4) if count[ch, s2] != -1)
-    boxes = np.asarray([slot_box(ni, s) for ni, s in frontier], np.float32)
-    nodes = np.asarray(
-        [child[ni, s] if count[ni, s] == 0 else ni for ni, s in frontier],
-        np.int32)
-    if not len(boxes):
-        return np.zeros((1, 6), np.float32), np.zeros((1,), np.int32)
-    return boxes, nodes
+    if not frontier:
+        return (np.zeros((1, 6), np.float32), np.zeros((1,), np.int32), bvh)
+
+    f32max = np.float32(np.finfo(np.float32).max)
+    boxes, nodes = [], []
+    ext_bounds, ext_child, ext_count = [], [], []
+    for ni, s in frontier:
+        boxes.append(slot_box(ni, s))
+        if count[ni, s] == 0:
+            nodes.append(child[ni, s])
+            continue
+        # synthetic node: slot 0 = this leaf, slots 1-3 always-miss empty
+        b = np.concatenate([np.full(12, f32max, np.float32),
+                            np.full(12, -f32max, np.float32)])
+        for ax in range(3):
+            b[ax * 4] = bounds[ni, ax * 4 + s]
+            b[12 + ax * 4] = bounds[ni, 12 + ax * 4 + s]
+        ext_bounds.append(b)
+        ext_child.append([child[ni, s], -1, -1, -1])
+        ext_count.append([count[ni, s], -1, -1, -1])
+        nodes.append(n_nodes + len(ext_bounds) - 1)
+    if ext_bounds:
+        bvh = bvh_build.BVH4Arrays(
+            bounds=np.concatenate(
+                [bounds, np.stack(ext_bounds)]).astype(np.float32),
+            child=np.concatenate(
+                [child, np.asarray(ext_child, np.int32)]),
+            count=np.concatenate(
+                [count, np.asarray(ext_count, np.int32)]),
+            prim_order=bvh.prim_order,
+        )
+    return (np.asarray(boxes, np.float32), np.asarray(nodes, np.int32), bvh)
 
 
 class BVHKernelIntersector:
@@ -581,7 +680,7 @@ class BVHKernelIntersector:
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
                  sort: bool = True, interpret: bool | None = None,
                  treelets=None, treelet_nodes=None, two_pass: bool = False,
-                 rebin: bool = False, rounds: int = 6):
+                 rebin: bool = False, rounds: int = 3):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
@@ -632,6 +731,11 @@ class BVHKernelIntersector:
         entry = treelet_entries(o, d, self.treelets)          # (n, T)
         itin = jnp.argsort(entry, axis=1).astype(jnp.int32)   # itinerary
         entry_sorted = jnp.take_along_axis(entry, itin, axis=1)
+        # rank[i, j] = itinerary position of treelet j for ray i
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        rank = jnp.zeros((n, T), jnp.int32).at[rows, itin].set(
+            jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                             (n, T)))
         morton = sort_keys(o, d, self.lo, self.hi)            # 24-bit key
         mids = jnp.minimum(
             jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
@@ -667,13 +771,30 @@ class BVHKernelIntersector:
             ray_tl = jnp.zeros_like(key).at[order].set(tile_tl[ray_tile])
             pos = pos + (pending & (ray_tl == cur_tl)).astype(jnp.int32)
 
+        # Exact multi-root cleanup: the rounds leave stragglers (tile-
+        # boundary minorities, >rounds crossings). Each cleanup tile pushes
+        # the UNION of its rays' remaining treelet subtree roots — never the
+        # full tree unless a tile's demand set overflows MULTI_K.
         posc = jnp.minimum(pos, T - 1)[:, None]
+        cur_tl = jnp.take_along_axis(itin, posc, axis=1)[:, 0]
         cur_entry = jnp.take_along_axis(entry_sorted, posc, axis=1)[:, 0]
         pending = (pos < T) & (cur_entry < best_t)
-        order = jnp.argsort(jnp.where(pending, morton, 1 << 26))
+        remaining = ((entry < best_t[:, None]) & (rank >= pos[:, None])
+                     & pending[:, None])                      # (n, T)
+        key = jnp.where(pending, cur_tl, T)
+        order = jnp.argsort((key << 24) | morton)
+        tile_any = remaining[order].reshape(n_grid, tile, T).any(axis=1)
+        colid = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, :], (n_grid, T))
+        topk = jnp.sort(jnp.where(tile_any, colid, T), axis=1)[:, :MULTI_K]
+        starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
+        over = tile_any.sum(axis=1) > MULTI_K
+        root_only = jnp.where(
+            jnp.arange(MULTI_K, dtype=jnp.int32)[None, :] == 0, 0, -1)
+        starts = jnp.where(over[:, None], root_only, starts)
         tcap = jnp.where(pending[order], best_t[order], t_min)
         t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
-                      tcap=tcap, raw_idx=True)
+                      starts=starts, tcap=tcap, raw_idx=True)
         best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
         idx = jnp.where(best_raw >= 0,
                         self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
@@ -737,34 +858,43 @@ REBIN_NODES = 4096
 
 def attach(cs, seed: int = 1, sort: bool = True,
            interpret: bool | None = None, two_pass: bool = False,
-           rebin: bool | None = None, rounds: int = 6,
+           rebin: bool | None = None, rounds: int = 3,
            treelet_target: int = 48):
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
     with the kernel's wide leaves. rebin=None auto-enables the multi-round
     treelet-re-binned traversal for dragon-class trees (>= REBIN_NODES)."""
-    # One bulk device→host transfer up front, everything host-side (the
-    # build, reorder, bounds and packing are numpy), one upload at the end
-    # — per-array round trips through a tunneled device cost minutes at
-    # dragon scale.
-    host_prims = prim.Prims(*jax.device_get(list(cs.prims)))
+    # Everything host-side (the build, reorder, bounds and packing are
+    # numpy), one upload at the end. The compiler keeps a host mirror of the
+    # prim SoA (compiler.host_prims_for) so no device→host fetch is needed
+    # at all; the device_get fallback covers prims this process didn't
+    # compile — per-array round trips through a tunneled device cost
+    # minutes at dragon scale.
+    from izpi_tpu.scene import compiler as compiler_mod
+
+    host_prims = compiler_mod.host_prims_for(cs.prims)
+    if host_prims is None:
+        host_prims = prim.Prims(*jax.device_get(list(cs.prims)))
     arrays = bvh_build.build_bvh4(host_prims, seed, leaf_size=KERNEL_LEAF,
                                   method="sah")
-    # KSTACK-1: the kernel's dead-slot write clamps to index KSTACK-1, so a
-    # tree whose worst-case occupancy is exactly KSTACK could clobber it.
+    # KSTACK - MULTI_K: the descent shares the stack with up to MULTI_K-1
+    # parked multi-start roots, and the dead-slot write clamps to KSTACK-1.
     errors = bvh_build.validate(arrays, host_prims.count,
-                                stack_depth=KSTACK - 1)
+                                stack_depth=KSTACK - MULTI_K)
     if errors:
         raise AssertionError(f"BVH4 validation failed: {errors[:5]}")
+    if rebin is None:
+        rebin = arrays.child.shape[0] >= REBIN_NODES
+    # Treelet extraction may EXTEND the node table (synthetic nodes for
+    # frontier leaf slots), so it runs before pack_scene. Validation ran on
+    # the unextended tree — synthetic nodes deliberately double-cover prims.
+    boxes, nodes, arrays = extract_treelets(arrays, target=treelet_target)
     idx = np.asarray(arrays.prim_order)
     host_reordered = prim.Prims(*[np.asarray(f)[idx] for f in host_prims])
     ks = pack_scene(host_reordered, arrays)
     bb_min, bb_max = bvh_build.prim_bounds(host_reordered)
     cs2 = cs._replace(prims=prim.Prims(
         *[jnp.asarray(f) for f in host_reordered]))
-    boxes, nodes = extract_treelets(arrays, target=treelet_target)
-    if rebin is None:
-        rebin = arrays.child.shape[0] >= REBIN_NODES
     inter = BVHKernelIntersector(
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
         sort=sort, interpret=interpret,

@@ -286,15 +286,72 @@ def _sphere_test(pr, o, d, time, t_min, t_max):
     return t, ok, n
 
 
-def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True):
-    """Closest hit vs the static scene, unrolled. Returns dict of per-lane
-    hit data (t, hit, normal, p, mat one-hot index as int32)."""
-    shape = o[0].shape
-    best_t = jnp.full(shape, t_max_init, jnp.float32)
-    hit = jnp.zeros(shape, jnp.bool_)
-    n = (jnp.zeros(shape, jnp.float32),) * 3
-    mat_idx = jnp.full(shape, -1, jnp.int32)
-    for i, pr in enumerate(prims):
+def _prim_aabb(pr):
+    """Conservative f64 AABB of one static primitive, padded so f32 slab
+    arithmetic can never cull a primitive the exact test would hit."""
+    import numpy as _np
+
+    k = pr["kind"]
+    if k == 0:       # triangle: v0, e1, e2
+        v0 = _np.asarray(pr["g0"])
+        pts = _np.stack([v0, v0 + pr["g1"], v0 + pr["g2"]])
+    elif k == 1:     # rect: p0, e1, e2
+        p0 = _np.asarray(pr["g0"])
+        e1 = _np.asarray(pr["g1"])
+        e2 = _np.asarray(pr["g2"])
+        pts = _np.stack([p0, p0 + e1, p0 + e2, p0 + e1 + e2])
+    else:            # sphere: both motion endpoints ± radius
+        c0 = _np.asarray(pr["g0"])
+        c1 = _np.asarray(pr["g1"])
+        r = abs(pr["g2"][0])
+        pts = _np.stack([c0 - r, c0 + r, c1 - r, c1 + r])
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    pad = 1e-4 + 1e-4 * _np.maximum(hi - lo, _np.abs(lo) + _np.abs(hi))
+    return lo - pad, hi + pad
+
+
+def build_clusters(prims, cam_origin, csize: int = 16):
+    """Spatial clusters of `csize` prims for the unrolled scan: prims are
+    Morton-ordered by centroid, chunked, and the chunks sorted by distance
+    from the camera origin (primary rays shrink t earliest, narrowing every
+    later cluster's slab window). Returns [(aabb6, [prim,...]), ...]."""
+    import numpy as _np
+
+    los, his = zip(*[_prim_aabb(pr) for pr in prims])
+    los = _np.stack(los)
+    his = _np.stack(his)
+    cent = (los + his) * 0.5
+    lo = los.min(axis=0)
+    span = _np.maximum(his.max(axis=0) - lo, 1e-9)
+    cell = _np.clip(((cent - lo) / span * 32).astype(_np.int64), 0, 31)
+
+    def spread(v):
+        v = (v | (v << 10)) & 0x30000FF
+        v = (v | (v << 4)) & 0x30C30C3
+        return (v | (v << 2)) & 0x9249249
+
+    code = spread(cell[:, 0]) | (spread(cell[:, 1]) << 1) | (
+        spread(cell[:, 2]) << 2)
+    order = _np.argsort(code, kind="stable")
+    clusters = []
+    cam = _np.asarray(cam_origin)
+    for i in range(0, len(prims), csize):
+        ids = order[i: i + csize]
+        box = _np.concatenate([los[ids].min(axis=0), his[ids].max(axis=0)])
+        clusters.append((tuple(float(x) for x in box),
+                         [prims[j] for j in ids]))
+    clusters.sort(key=lambda c: float(_np.linalg.norm(
+        (_np.asarray(c[0][:3]) + _np.asarray(c[0][3:])) * 0.5 - cam)))
+    return clusters
+
+
+def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
+    """Unrolled closest-hit update over `prims` against the running carry
+    (best_t f32, hit i32, nx, ny, nz f32, mat i32) — i32 hit because Mosaic
+    cannot legalize vector<i1> through scf.if/while yields."""
+    best_t, hit_i, nx, ny, nz, mat_idx = carry
+    n = (nx, ny, nz)
+    for pr in prims:
         if pr["kind"] == 0:
             t, ok, nn = _tri_test(pr, o, d, t_min, best_t)
         elif pr["kind"] == 1:
@@ -307,12 +364,58 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True):
             nn = _scale(nn, -1.0)
         better = ok & (t < best_t)
         best_t = jnp.where(better, t, best_t)
-        hit = hit | better
+        hit_i = jnp.where(better, 1, hit_i)
         n = _sel(better, nn, n)
         if want_mat:
             mat_idx = jnp.where(better, pr["mat"], mat_idx)
+    return (best_t, hit_i, n[0], n[1], n[2], mat_idx)
+
+
+# Scenes with at least this many prims get cluster-skipping: below it the
+# per-cluster slab test + branch costs more than the prims it could skip.
+CLUSTER_MIN_PRIMS = 64
+
+
+def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
+                      clusters=None):
+    """Closest hit vs the static scene, unrolled. Returns dict of per-lane
+    hit data (t, hit, normal, p, mat one-hot index as int32).
+
+    With `clusters`, each 16-prim chunk is guarded by a tile-union slab test
+    against the chunk's AABB and skipped via lax.cond when no lane's
+    [t_min, best_t) window can enter it — the two-level answer to the
+    reference's per-ray BVH descent (bvh4.go:49-163) at unroll scale. The
+    per-lane best_t feeds the slab far plane, so clusters behind every
+    lane's current hit are skipped too (tMax shrink, bvh4.go:130)."""
+    shape = o[0].shape
+    carry = (jnp.full(shape, t_max_init, jnp.float32),
+             jnp.zeros(shape, jnp.int32),
+             jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+             jnp.zeros(shape, jnp.float32),
+             jnp.full(shape, -1, jnp.int32))
+    if clusters is None:
+        carry = _scan_prims(prims, o, d, time, t_min, carry, want_mat)
+    else:
+        inv = tuple(1.0 / jnp.where(dc == 0.0, 1e-30, dc) for dc in d)
+        for bbox, cprims in clusters:
+            tn = jnp.full(shape, t_min, jnp.float32)
+            tf = carry[0]
+            for ax in range(3):
+                t0b = (jnp.float32(bbox[ax]) - o[ax]) * inv[ax]
+                t1b = (jnp.float32(bbox[3 + ax]) - o[ax]) * inv[ax]
+                tn = jnp.maximum(tn, jnp.minimum(t0b, t1b))
+                tf = jnp.minimum(tf, jnp.maximum(t0b, t1b))
+            anyhit = jnp.max(jnp.where(tf > tn, 1, 0)) > 0
+            carry = jax.lax.cond(
+                anyhit,
+                lambda c, cp=cprims: _scan_prims(prims=cp, o=o, d=d,
+                                                 time=time, t_min=t_min,
+                                                 carry=c, want_mat=want_mat),
+                lambda c: c,
+                carry)
+    best_t, hit_i, nx, ny, nz, mat_idx = carry
     p = _add(o, _scale(d, best_t))
-    return dict(t=best_t, hit=hit, n=n, p=p, mat=mat_idx)
+    return dict(t=best_t, hit=hit_i != 0, n=(nx, ny, nz), p=p, mat=mat_idx)
 
 
 # --------------------------------------------------------------------------
@@ -439,6 +542,8 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
     mats = static.mats
     lights = static.lights
     sentinel = (0.0, 0.0, 1.0)
+    clusters = (build_clusters(prims, cam["origin"])
+                if len(prims) >= CLUSTER_MIN_PRIMS else None)
 
     any_metal = any(m["kind"] == mt.MAT_METAL for m in mats)
     any_diel = any(m["kind"] == mt.MAT_DIELECTRIC for m in mats)
@@ -509,7 +614,8 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
             rad = st["rad"]
             cnt = st["cnt"] + live.astype(jnp.int32)
 
-            rec = _intersect_static(prims, o, d, tme, T_MIN, T_MAX)
+            rec = _intersect_static(prims, o, d, tme, T_MIN, T_MAX,
+                                    clusters=clusters)
             hit = rec["hit"]
             nrm = rec["n"]
             p = rec["p"]
@@ -606,7 +712,8 @@ def build_renderer(cs, meta, settings, nx: int, ny: int, spp: int,
                     # Beer–Lambert exit re-trace (dielectric.go:118-153)
                     start = _add(p, _scale(d_diel, 1e-3))
                     ex = _intersect_static(prims, start, d_diel, tme,
-                                           0.0, 1000.0, want_mat=False)
+                                           0.0, 1000.0, want_mat=False,
+                                           clusters=clusters)
                     dl = _sub(ex["p"], p)
                     plen = jnp.sqrt(_dot(dl, dl))
                     plen = jnp.clip(plen, 0.1, 100.0)

@@ -141,9 +141,59 @@ def build_pool_renderer(cs, meta, settings, intersect, nx: int, ny: int,
 
     @jax.jit
     def run(key):
+        # check_vma=False: the intersector may be the Pallas BVH kernel,
+        # whose pallas_call out_shapes carry no varying-axes info for the
+        # vma checker to propagate.
         fn = shard_map(shard_body, mesh=mesh,
-                       in_specs=(P(), P()), out_specs=(P(), P()))
+                       in_specs=(P(), P()), out_specs=(P(), P()),
+                       check_vma=False)
         return fn(cs, key)
+
+    return run
+
+
+def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
+                                     mesh: Mesh, spp: int,
+                                     spectral: bool = False,
+                                     pool_size: int = 1 << 16):
+    """Primitive-sharded production renderer — the >HBM-scene path (the
+    reference streams triangles so every worker holds the whole scene,
+    worker/setup.go:97-153; on TPU the natural inversion shards the
+    primitive SoA so each chip holds 1/N of the geometry).
+
+    Unlike sample sharding, RAYS ARE REPLICATED: every device runs the
+    identical pool over the full sample range against its local prims, the
+    closest hit reduces over ICI inside every bounce
+    (make_sharded_intersector), and the identical replicated loop keeps the
+    while-loop condition in lockstep — collectives inside the bounce loop
+    would deadlock otherwise. PBR scenes are rejected: their shading
+    gathers index the prim SoA by global id, which cannot cross shards."""
+    from izpi_tpu.integrator import wavefront
+
+    if meta.has_pbr:
+        raise ValueError("prim-sharded rendering does not support PBR "
+                         "scenes (shading gathers cross shards)")
+    pad_prims, intersect_local = make_sharded_intersector(cs, mesh)
+    prims_padded = pad_prims(cs.prims)
+    bg_spd_id = meta.spectral_background_spd or 0
+    pool = min(pool_size, nx * ny * spp)
+
+    def shard_body(local_prims, cs_rep, key):
+        intersect = partial(intersect_local, local_prims)
+        acc, nrays = wavefront.trace_pool(
+            cs_rep, meta, settings, intersect, nx, ny, spp, key, pool,
+            spectral=spectral, bg_spd_id=bg_spd_id)
+        # acc/nrays come out identical on every device (replicated rays,
+        # psum'd hit records), so out_specs P() just reads them off.
+        return acc, nrays
+
+    @jax.jit
+    def run(key):
+        fn = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(TILE_AXIS), P(), P()), out_specs=(P(), P()),
+            check_vma=False)
+        return fn(prims_padded, cs, key)
 
     return run
 
@@ -154,6 +204,7 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
                        seed: int = 0,
                        sampler_type: str = "colour",
                        context=None,
+                       shard_prims: bool = False,
                        warmup: bool = False) -> renderer_mod.RenderResult:
     """Whole-image render with samples sharded across the mesh (the
     wavefront pool on every device; spectral supported).
@@ -172,11 +223,18 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         context = renderer_mod.RenderContext(scene)
     cs, meta, intersect = context.cs, context.meta, context.intersect
     n_dev = mesh.devices.size
-    spp_eff = -(-spp // n_dev) * n_dev
     spectral = meta.spectral or sampler_type == "spectral"
 
-    run = build_pool_renderer(cs, meta, settings, intersect, nx, ny, mesh,
-                              spp_eff // n_dev, spectral=spectral)
+    if shard_prims:
+        # Geometry sharded 1/N per chip, samples replicated (SURVEY §2.6
+        # "geometry streaming"): the >HBM-scene mode.
+        spp_eff = spp
+        run = build_pool_renderer_prim_sharded(
+            cs, meta, settings, nx, ny, mesh, spp, spectral=spectral)
+    else:
+        spp_eff = -(-spp // n_dev) * n_dev
+        run = build_pool_renderer(cs, meta, settings, intersect, nx, ny,
+                                  mesh, spp_eff // n_dev, spectral=spectral)
     key = rng.render_key(seed)
     if warmup:
         jax.block_until_ready(run(key))

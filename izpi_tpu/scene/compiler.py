@@ -603,6 +603,29 @@ def _compile_light(b: _Builder, h: st.Hitable):
         b.add_light_null()
 
 
+# Host-side shadow of the last few compiled primitive SoAs. The BVH builders
+# need the prims back on the host; re-fetching them with device_get costs
+# minutes at dragon scale through a tunneled chip (docs/PERF.md), and the
+# numpy originals exist right here at compile time. Keyed by the identity of
+# the device `kind` array (a strong ref keeps the id stable); tiny FIFO.
+_HOST_PRIMS: "List[Tuple[jax.Array, tuple, prim.Prims]]" = []
+
+
+def _register_host_prims(device_prims: prim.Prims, host: prim.Prims) -> None:
+    _HOST_PRIMS.append((device_prims.kind, device_prims.kind.shape, host))
+    if len(_HOST_PRIMS) > 4:
+        _HOST_PRIMS.pop(0)
+
+
+def host_prims_for(device_prims: prim.Prims) -> Optional[prim.Prims]:
+    """The host numpy mirror of a compiled prim SoA, if this process
+    compiled it (None → caller must device_get)."""
+    for key, shape, host in _HOST_PRIMS:
+        if key is device_prims.kind and shape == device_prims.kind.shape:
+            return host
+    return None
+
+
 def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
     b = _Builder()
     for h in scene.world:
@@ -620,17 +643,21 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
     i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
     cat = np.concatenate
 
-    prims = prim.Prims(
-        kind=i32(cat(b.p_kind)),
-        g0=f32(cat(b.p_g0)), g1=f32(cat(b.p_g1)),
-        g2=f32(cat(b.p_g2)), g3=f32(cat(b.p_g3)),
-        mat_id=i32(cat(b.p_mat)),
-        flip=jnp.asarray(cat(b.p_flip)),
-        uv=f32(cat(b.p_uv)),
-        vn=f32(cat(b.p_vn)),
-        has_vn=jnp.asarray(cat(b.p_has_vn)),
-        tb=f32(cat(b.p_tb)),
+    f32h = lambda x: np.asarray(np.asarray(x, np.float64), np.float32)
+    i32h = lambda x: np.asarray(np.asarray(x), np.int32)
+    host_prims = prim.Prims(
+        kind=i32h(cat(b.p_kind)),
+        g0=f32h(cat(b.p_g0)), g1=f32h(cat(b.p_g1)),
+        g2=f32h(cat(b.p_g2)), g3=f32h(cat(b.p_g3)),
+        mat_id=i32h(cat(b.p_mat)),
+        flip=np.asarray(cat(b.p_flip)),
+        uv=f32h(cat(b.p_uv)),
+        vn=f32h(cat(b.p_vn)),
+        has_vn=np.asarray(cat(b.p_has_vn)),
+        tb=f32h(cat(b.p_tb)),
     )
+    prims = prim.Prims(*[jnp.asarray(f) for f in host_prims])
+    _register_host_prims(prims, host_prims)
     n_p = int(prims.kind.shape[0])
 
     if not b.tex_kind:

