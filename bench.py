@@ -40,7 +40,9 @@ CONFIGS = [
      (0.7, 0.8, 1.0)),
     ("dragon", "cornell_box_pbr_stanford_dragon_spectral",
      256, 256, 8, 16, "colour", (0, 0, 0)),
-    ("pbr_ibl", "pbr_ibl", 128, 128, 32, 16, "colour", (0, 0, 0)),
+    # 128²@32 traces only ~0.7M rays (avg depth 1.3 under the IBL dome) —
+    # pure dispatch latency; production scale makes the number a measurement.
+    ("pbr_ibl", "pbr_ibl", 256, 256, 256, 16, "colour", (0, 0, 0)),
 ]
 
 

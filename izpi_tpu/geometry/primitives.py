@@ -325,3 +325,142 @@ def finalize_hit(prims: Prims, o, d, time, t, idx, hit) -> Hit:
         t=t, u=u, v=v, p=p, normal=n,
         prim_idx=jnp.where(hit, idx, -1), mat_id=mat_id, hit=hit,
     )
+
+
+# --------------------------------------------------------------------------
+# Gather-free unrolled closest hit for small scenes.
+#
+# finalize_hit's per-field gathers dominate small-scene intersection on TPU
+# (measured ~4-8 ms at 512k rays for a FOUR-primitive scene — each XLA
+# gather carries ~1 ms of fixed cost); argmin/take_along_axis over a tiny
+# (N, P) minor axis is similarly mis-laid-out. For P <= ~64 the whole
+# closest-hit unrolls over the primitives with every constant baked as an
+# XLA immediate — pure (N,)-planar VPU work, zero gathers, zero argmins —
+# the XLA-level sibling of the Pallas megakernel's _scan_prims.
+# --------------------------------------------------------------------------
+
+
+UNROLL_MAX_PRIMS = 64
+
+
+def make_unrolled_intersector(prims: Prims, host: Optional[Prims] = None):
+    """IntersectFn over python-unrolled per-primitive tests (P small).
+
+    Semantics identical to intersect_brute + finalize_hit: strict `t <
+    best_t` keeps the first primitive on ties (hitable_slice.go:30-45), the
+    record pass recomputes u/v/normal with finalize_hit's fixed windows,
+    including the sphere far-root normal quirk (sphere.go:88-99)."""
+    import numpy as np
+
+    if host is None:
+        from izpi_tpu.scene import compiler as compiler_mod
+
+        host = compiler_mod.host_prims_for(prims)
+    if host is None:
+        host = Prims(*jax.device_get(list(prims)))
+    kind = np.asarray(host.kind)
+    g0 = np.asarray(host.g0, np.float64)
+    g1 = np.asarray(host.g1, np.float64)
+    g2 = np.asarray(host.g2, np.float64)
+    g3 = np.asarray(host.g3, np.float64)
+    uv = np.asarray(host.uv, np.float64)
+    vn = np.asarray(host.vn, np.float64)
+    has_vn = np.asarray(host.has_vn)
+    flip = np.asarray(host.flip)
+    mat_id = np.asarray(host.mat_id)
+    p_total = kind.shape[0]
+    assert p_total <= UNROLL_MAX_PRIMS, p_total
+
+    def c3(a):
+        return jnp.asarray(np.asarray(a, np.float32))
+
+    def _sphere_center_i(i, time):
+        st0, st1 = float(g2[i, 1]), float(g2[i, 2])
+        if np.array_equal(g0[i], g1[i]) or st0 == st1:
+            return c3(g0[i])[None, :]
+        frac = (time - st0) / (st1 - st0)
+        return c3(g0[i])[None, :] + frac[:, None] * (c3(g1[i] - g0[i])[None, :])
+
+    def intersect(o, d, time, t_min, t_max):
+        zero = o[:, 0] * 0.0
+        t_cap = jnp.minimum(jnp.asarray(t_max, jnp.float32), T_MAX)
+        best_t = zero + t_cap
+        best_i = zero.astype(jnp.int32) - 1
+
+        for i in range(p_total):
+            k = int(kind[i])
+            if k == KIND_TRIANGLE:
+                t, ok, _, _ = triangle_t(o, d, c3(g0[i]), c3(g1[i]),
+                                         c3(g2[i]), t_min, best_t)
+            elif k == KIND_RECT:
+                t, ok, _, _ = rect_t(o, d, c3(g0[i]), c3(g1[i]), c3(g2[i]),
+                                     c3(g3[i]), t_min, best_t)
+            elif k == KIND_SPHERE:
+                center = _sphere_center_i(i, time)
+                t, ok, _ = sphere_t(o, d, center, float(g2[i, 0]),
+                                    t_min, best_t)
+            else:
+                continue
+            better = ok & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, i, best_i)
+
+        hit = best_i >= 0
+        p = o + best_t[:, None] * d
+        u = zero
+        v = zero
+        nrm = o * 0.0
+        mat = jnp.full_like(best_i, -1)
+
+        # Record pass: finalize_hit's formulas with baked constants.
+        for i in range(p_total):
+            sel = best_i == i
+            k = int(kind[i])
+            if k == KIND_TRIANGLE:
+                _, _, bu, bv = triangle_t(o, d, c3(g0[i]), c3(g1[i]),
+                                          c3(g2[i]), -T_MAX, T_MAX)
+                bw = 1.0 - bu - bv
+                s = bu + bv + bw
+                renorm = jnp.abs(s - 1.0) > MT_EPS
+                s_safe = jnp.where(s == 0.0, 1.0, s)
+                bu_r = jnp.where(renorm, bu / s_safe, bu)
+                bv_r = jnp.where(renorm, bv / s_safe, bv)
+                bw_r = jnp.where(renorm, bw / s_safe, bw)
+                u_i = (bw_r * float(uv[i, 0]) + bu_r * float(uv[i, 2])
+                       + bv_r * float(uv[i, 4]))
+                v_i = (bw_r * float(uv[i, 1]) + bu_r * float(uv[i, 3])
+                       + bv_r * float(uv[i, 5]))
+                if bool(has_vn[i]):
+                    n_i = vm.safe_normalize(
+                        bw_r[:, None] * c3(vn[i, 0:3])[None, :]
+                        + bu_r[:, None] * c3(vn[i, 3:6])[None, :]
+                        + bv_r[:, None] * c3(vn[i, 6:9])[None, :])
+                else:
+                    n_i = jnp.broadcast_to(c3(g3[i])[None, :], o.shape)
+            elif k == KIND_RECT:
+                _, _, u_i, v_i = rect_t(o, d, c3(g0[i]), c3(g1[i]),
+                                        c3(g2[i]), c3(g3[i]), -T_MAX, T_MAX)
+                n_i = jnp.broadcast_to(c3(g3[i])[None, :], o.shape)
+            elif k == KIND_SPHERE:
+                center = _sphere_center_i(i, time)
+                radius = float(g2[i, 0])
+                _, _, far = sphere_t(o, d, center, radius, 1e-3, T_MAX)
+                r_safe = radius if radius != 0.0 else 1.0
+                outward = (p - center) * (1.0 / r_safe)
+                flip_n = vm.dot(d, outward) >= 0.0
+                flipped = jnp.where(flip_n[:, None], -outward, outward)
+                u_i, v_i = sphere_uv(flipped)
+                n_i = jnp.where(far[:, None], outward, flipped)
+            else:
+                continue
+            if bool(flip[i]):
+                n_i = -n_i
+            u = jnp.where(sel, u_i, u)
+            v = jnp.where(sel, v_i, v)
+            nrm = jnp.where(sel[:, None], n_i, nrm)
+            mat = jnp.where(sel, int(mat_id[i]), mat)
+
+        return Hit(t=best_t, u=u, v=v, p=p, normal=nrm,
+                   prim_idx=jnp.where(hit, best_i, -1), mat_id=mat, hit=hit)
+
+    return intersect

@@ -615,8 +615,13 @@ def trace(
         )
         depth, o, d, time, thru, rad, active, nrays = final
     else:
-        depth, o, d, time, thru, rad, active, nrays = jax.lax.while_loop(
-            cond, body, state0
+        # Static trip count (the cond's depth bound) with a cheap
+        # lax.cond guard per bounce: a dynamic while costs ~60 ms per
+        # iteration in predicate syncs on the axon backend (core.loops).
+        from izpi_tpu.core.loops import guarded_fori
+
+        depth, o, d, time, thru, rad, active, nrays = guarded_fori(
+            settings.max_depth, cond, body, state0
         )
     # Depth cap: the next Sample call would return {Z:1} (colour.go:34-36).
     sentinel = jnp.array([0.0, 0.0, 1.0], jnp.float32)

@@ -24,16 +24,20 @@ import jax.numpy as jnp
 from izpi_tpu import camera as camera_mod
 from izpi_tpu.core import rng
 from izpi_tpu.core import vecmath as vm
-from izpi_tpu.core.loops import chunked_while
+from izpi_tpu.core.loops import chunked_while, guarded_fori
 from izpi_tpu.integrator import path as path_mod
 from izpi_tpu.spectral import cie
 
 LAMBDA_SALT = 0x7A3B
-# Bounces between pool-drained checks. Each check is a host sync (~60 ms
-# through a tunneled chip) but each POOL ITERATION costs tens of ms on
-# heavy scenes (the BVH kernel per bounce) — at 64 the drain tail wasted up
-# to 63 all-dead full-price iterations, ~3× a low-spp dragon render.
-LOOP_CHUNK = 8
+# Iteration-bound ceiling for the all-static guarded fori scheduler: below
+# this the whole pool loop compiles to a fixed trip count with ZERO dynamic
+# while syncs (~60 ms each on this backend).
+# ceil(total·max_depth/pool)+max_depth bounds the true count (every non-tail
+# iteration runs all slots; the tail is ≤ max_depth deep). The bound is
+# pessimistic by the avg-depth/max-depth ratio, and each skipped 8-iteration
+# guard chunk still costs one lax.cond state copy (core.loops), so past this
+# ceiling an adaptive chunked while wins.
+MAX_STATIC_ITERS = 256
 
 
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
@@ -169,8 +173,19 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
             nrays=st["nrays"] + nrays,
         )
 
-    # Chunked while: the body is a fixpoint once every slot is inactive
-    # (all updates are masked), so over-running up to LOOP_CHUNK-1
-    # iterations after the queue drains is harmless. See core.loops.
-    final = chunked_while(cond, body, state0, chunk=LOOP_CHUNK)
+    # The body is a fixpoint once every slot is inactive (all updates are
+    # masked), so over-running iterations after the queue drains is
+    # harmless — and with chunk-granular lax.cond guards, cheap. When the
+    # static iteration bound is tolerable, the whole loop is a fixed-trip
+    # fori with zero dynamic-predicate syncs (~60 ms each on this backend,
+    # the dominant cost of short renders); otherwise a guarded chunked
+    # while with the chunk sized so typical renders (avg depth ≈ 2×
+    # generations heuristic) finish in ONE outer while iteration.
+    bound = -(-total * settings.max_depth // n) + settings.max_depth
+    if bound <= MAX_STATIC_ITERS:
+        final = guarded_fori(bound, cond, body, state0)
+    else:
+        generations = -(-total // n)
+        chunk = max(16, min(256, 2 * generations, bound))
+        final = chunked_while(cond, body, state0, chunk=chunk, guard=True)
     return final["acc"], final["nrays"]

@@ -371,9 +371,14 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
     return (best_t, hit_i, n[0], n[1], n[2], mat_idx)
 
 
-# Scenes with at least this many prims get cluster-skipping: below it the
-# per-cluster slab test + branch costs more than the prims it could skip.
-CLUSTER_MIN_PRIMS = 64
+# Cluster-skipping gate. MEASURED NEGATIVE at shirley scale (256²@128 on
+# the v5e chip): 39 Mrays/s clustered vs 51 flat — the per-cluster
+# tile-union slab test + lax.cond branch costs more than the primitives it
+# skips, because a 2048-lane tile of incoherent bounce rays wants almost
+# every cluster (the same union saturation as the dragon kernel,
+# docs/PERF.md). Default-off; the machinery and its differential test stay
+# (tests/test_megakernel.py) for scenes with real spatial separation.
+CLUSTER_MIN_PRIMS = 1 << 30
 
 
 def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,

@@ -28,6 +28,7 @@ import numpy as np
 from izpi_tpu import camera as camera_mod
 from izpi_tpu.core import rng
 from izpi_tpu.core import vecmath as vm
+from izpi_tpu.geometry import primitives as prim_mod
 from izpi_tpu.integrator import path as path_mod
 from izpi_tpu.scene import types as st
 from izpi_tpu.scene.compiler import CompiledScene, SceneMeta, compile_scene
@@ -145,6 +146,11 @@ def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):
         from izpi_tpu.accel import traverse
 
         cs, intersect = traverse.attach(cs, seed=seed)
+    elif meta.n_prims <= prim_mod.UNROLL_MAX_PRIMS:
+        # Tiny scenes: python-unrolled per-prim tests with baked constants —
+        # finalize_hit's gathers alone cost more than the whole scene's
+        # t-tests at this size (geometry.primitives.make_unrolled_intersector).
+        intersect = prim_mod.make_unrolled_intersector(cs.prims)
     else:
         # MXU-formulated brute force: the ray×prim tests ride the systolic
         # array instead of the VPU (geometry.mxu_intersect).
@@ -279,7 +285,10 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
                          "(media/PBR/image/noise or too many primitives)")
     if use_mega or mode == "wavefront" or spectral:
         if pool_size is None:
-            pool_size = min(nx * ny * spp, 1 << 16)
+            # Larger pools amortize per-iteration fixed costs (kernel-launch
+            # overhead in the BVH path, pool glue everywhere); per-bounce
+            # state is ~100 B/ray so even 1<<18 slots is ~25 MB.
+            pool_size = min(nx * ny * spp, 1 << 18)
         base_key = rng.render_key(seed)
         bg_spd_id = meta.spectral_background_spd or 0
         if use_mega:

@@ -116,3 +116,50 @@ def test_moving_sphere_center_lerp():
     h1 = prim.intersect_brute(cs.prims, o, d, jnp.ones(1), 1e-3, prim.T_MAX)
     assert not bool(h0.hit[0])  # at t=0 sphere is at origin
     assert bool(h1.hit[0])      # at t=1 sphere is at (2,0,0)
+
+
+def test_unrolled_intersector_matches_brute():
+    """make_unrolled_intersector (gather-free small-scene path) must agree
+    with intersect_brute + finalize_hit on a mixed-kind scene including a
+    moving sphere, a flipped rect, and a vn-interpolated triangle."""
+    rs = np.random.RandomState(5)
+    world = [
+        st.Sphere((0, 0, -3), (0, 1, -3), 0.0, 1.0, 1.0,
+                  st.Lambertian(st.ConstantTexture((0.5, 0.5, 0.5)))),
+        st.Sphere((2, 0, -4), (2, 0, -4), 0, 1, 1.2,
+                  st.Metal((0.9, 0.9, 0.9), fuzz=0.1)),
+        st.FlipNormals(st.XZRect(-5, 5, -8, 2, -1.5,
+                       st.Lambertian(st.ConstantTexture((0.2, 0.7, 0.2))))),
+        st.Triangle((-2, -1, -2), (-1, 1.5, -3), (-3, 0.2, -4),
+                    st.Lambertian(st.ConstantTexture((0.8, 0.2, 0.2))),
+                    uv0=(0, 0), uv1=(1, 0), uv2=(0, 1),
+                    vn0=(0, 0, 1), vn1=(0.5, 0.5, 0.707), vn2=(1, 0, 0)),
+    ]
+    scene = st.Scene(world=world,
+                     camera=st.Camera(look_from=(0, 0, 5), look_at=(0, 0, -3)))
+    cs, meta = compile_scene(scene)
+
+    n = 512
+    o = jnp.asarray(rs.randn(n, 3) * 2 + np.array([0, 0, 3]), jnp.float32)
+    d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    tm = jnp.asarray(rs.rand(n), jnp.float32)
+
+    ref = prim.intersect_brute(cs.prims, o, d, tm, 1e-3, prim.T_MAX)
+    fast = prim.make_unrolled_intersector(cs.prims)(o, d, tm, 1e-3,
+                                                    prim.T_MAX)
+
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(fast.hit))
+    np.testing.assert_array_equal(np.asarray(ref.prim_idx),
+                                  np.asarray(fast.prim_idx))
+    np.testing.assert_array_equal(np.asarray(ref.mat_id),
+                                  np.asarray(fast.mat_id))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(ref.t)[h], np.asarray(fast.t)[h],
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ref.u)[h], np.asarray(fast.u)[h],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.v)[h], np.asarray(fast.v)[h],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.normal)[h],
+                               np.asarray(fast.normal)[h],
+                               rtol=2e-5, atol=2e-5)

@@ -69,6 +69,7 @@ def test_megakernel_clustered_matches_flat(monkeypatch):
 
     key = rng.render_key(5)
 
+    monkeypatch.setattr(megakernel, "CLUSTER_MIN_PRIMS", 64)
     ctx_c = renderer.RenderContext(scene)
     static = megakernel.extract_static(ctx_c.cs, ctx_c.meta)
     assert len(static.prims) >= megakernel.CLUSTER_MIN_PRIMS
