@@ -3,11 +3,25 @@
 The bounce kernels live in izpi_tpu.integrator.path (shared with the
 lockstep oracle and the differentiable scan). This module only schedules:
 a fixed pool of N path slots; each iteration advances every live path one
-bounce, scatters the radiance of finished paths into the per-pixel
-accumulator, and refills freed slots with fresh camera samples from a global
-queue — the TPU answer to izpi's work-stealing goroutine pool
-(render/renderer.go:112-147), with the tile channel replaced by an on-device
-sample counter. Lane occupancy stays ~100% until the tail.
+bounce, deposits the radiance of finished paths, and refills freed slots
+with fresh camera samples — the TPU answer to izpi's work-stealing
+goroutine pool (render/renderer.go:112-147).
+
+Two schedulers:
+
+- SLOT-PINNED (default when the frame fits the pool): slot s serves pixel
+  s mod n_pix forever and walks its replica's strided sample indices
+  (replica k of r handles samples k, k+r, k+2r, …). The radiance deposit is
+  a pure per-slot accumulator and the refill a per-slot counter — ZERO
+  scatter-adds and ZERO cumsum queues per bounce, both of which cost
+  milliseconds per iteration at 256k slots on TPU. Same scheme as the
+  Pallas megakernel's slot pinning (ops/megakernel.py).
+- QUEUE (fallback for frames larger than the pool): freed slots pull global
+  sample ids from an on-device counter via a cumsum ranking, deposits
+  scatter-add into the pixel accumulator.
+
+Both enumerate exactly the (pixel, sample) pairs of the lockstep renderer
+and key them identically, so estimates match it up to fp accumulation order.
 
 Spectral mode follows render/spectral.go:71-106: λ importance-sampled by
 CIE-Y per sample, scalar radiance transport, XYZ deposit
@@ -40,29 +54,47 @@ LAMBDA_SALT = 0x7A3B
 MAX_STATIC_ITERS = 256
 
 
+def _run_scheduler(cond, body, state0, total, n, max_depth):
+    """Pick the loop structure (see core.loops for the backend pathology
+    measurements that motivate each branch)."""
+    bound = -(-total * max_depth // n) + max_depth
+    if bound <= MAX_STATIC_ITERS:
+        return guarded_fori(bound, cond, body, state0)
+    generations = -(-total // n)
+    chunk = max(16, min(256, 2 * generations, bound))
+    return chunked_while(cond, body, state0, chunk=chunk, guard=True)
+
+
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
                base_key, pool_size: int, spectral: bool = False,
                bg_spd_id: int = 0, sample_offset: int = 0):
     """Render nx×ny@spp with a persistent path pool.
 
     Returns (acc (nx*ny, 3) summed radiance — RGB, or CIE XYZ in spectral
-    mode; divide by spp for the image — and the total ray count). Samples
-    are keyed (pixel, sample+sample_offset) exactly like the lockstep
-    renderer, so the estimate matches it up to fp accumulation order;
-    sample_offset lets callers render in resumable chunks (checkpointing).
+    mode; divide by spp for the image — and the total ray count).
+    sample_offset lets callers render in resumable chunks (checkpointing):
+    the chunk covers per-pixel samples [offset, offset + spp).
     """
     n_pix = nx * ny
-    total = n_pix * spp
-    n = pool_size
+    if n_pix <= pool_size:
+        return _trace_pool_pinned(
+            cs, meta, settings, intersect, nx, ny, spp, base_key, pool_size,
+            spectral=spectral, bg_spd_id=bg_spd_id,
+            sample_offset=sample_offset)
+    return _trace_pool_queue(
+        cs, meta, settings, intersect, nx, ny, spp, base_key, pool_size,
+        spectral=spectral, bg_spd_id=bg_spd_id, sample_offset=sample_offset)
 
-    def sample_to_ray(sample_ids, issued):
-        sid = jnp.where(issued, sample_ids, 0)
-        pix = sid % n_pix
-        samp = sid // n_pix + sample_offset
+
+def _make_ray_fns(cs, base_key, nx, ny, n_pix, spectral, sample_offset):
+    """Shared sample→ray generation: keys and camera rays for a (pix, samp)
+    batch, identical streams to the lockstep renderer's sample_pass."""
+
+    def gen(pix, samp, issued):
+        samp = jnp.where(issued, samp, 0) + sample_offset
         keys = rng.path_keys_perray(base_key, pix, samp)
         cam_u = rng.bounce_uniforms_perray(
-            keys, jnp.zeros_like(pix), 5, salt=0x5EED
-        )
+            keys, jnp.zeros_like(pix), 5, salt=0x5EED)
         xs = (pix % nx).astype(jnp.float32)
         ys = (pix // nx).astype(jnp.float32)
         s = (xs + cam_u[:, 0]) / nx
@@ -75,25 +107,153 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
         else:
             lam = jnp.zeros_like(s)
             lam_pdf = jnp.ones_like(s)
-        return o, d, tme, keys, pix, lam, lam_pdf
+        return o, d, tme, keys, lam, lam_pdf
+
+    return gen
+
+
+def _bounce_step(cs, meta, settings, intersect, st, spectral, bg_spd_id):
+    """Advance the pool one bounce; returns (state updates dict, died mask,
+    per-path contribution)."""
+    if spectral:
+        o, d, thru, rad, active, nrays, bg_val = path_mod.bounce_spectral(
+            cs, meta, settings, intersect,
+            st["o"], st["d"], st["time"], st["lam"], st["keys"],
+            st["depth"], st["thru"], st["rad"], st["active"], bg_spd_id,
+        )
+    else:
+        o, d, thru, rad, active, nrays = path_mod.bounce_rgb(
+            cs, meta, settings, intersect,
+            st["o"], st["d"], st["time"], st["keys"], st["depth"],
+            st["thru"], st["rad"], st["active"],
+        )
+    depth = st["depth"] + 1
+    capped = active & (depth >= settings.max_depth)
+    if spectral:
+        # Depth cap returns the background SPD at λ (spectral.go:48-52).
+        rad = rad + jnp.where(capped, thru * bg_val, 0.0)
+    else:
+        sentinel = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        rad = rad + jnp.where(capped[:, None], thru * sentinel[None, :], 0.0)
+    active = active & ~capped
+
+    died = st["active"] & ~active
+    if spectral:
+        x, y, z = cie.get_cie_values(st["lam"])
+        xyz = jnp.stack([x, y, z], axis=-1)
+        # pdf(λ)=0 only when u drew exactly 0 and landed on CIE_Y[0]=0
+        # — a measure-zero event the reference divides into Inf
+        # (render/spectral.go:95); zeroing it keeps the estimator
+        # unbiased and the canvas finite for firefly rejection. The
+        # final de_nan mirrors the RGB path's per-sample DeNAN
+        # (render/rgb.go:36) which the reference's spectral path lacks.
+        w = jnp.where(st["lam_pdf"] > 0.0, rad / st["lam_pdf"], 0.0)
+        contrib = vm.de_nan(xyz * w[:, None])
+    else:
+        contrib = vm.de_nan(rad)
+    return (dict(o=o, d=d, thru=thru, rad=rad, active=active, depth=depth,
+                 nrays=nrays), died, contrib)
+
+
+def _trace_pool_pinned(cs, meta, settings, intersect, nx, ny, spp, base_key,
+                       pool_size, spectral, bg_spd_id, sample_offset):
+    """Slot-pinned pool: n_pix·r slots, replica k strided over samples
+    {k, k+r, …} ∩ [0, spp). No scatters, no queues."""
+    n_pix = nx * ny
+    r = max(1, min(pool_size // n_pix, spp))
+    n = n_pix * r
+    total = n_pix * spp
+
+    gen = _make_ray_fns(cs, base_key, nx, ny, n_pix, spectral, sample_offset)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    pix = slot % n_pix
+    replica = slot // n_pix
+
+    def slot_rays(samp_ctr, issued):
+        # per-pixel sample index for this slot's samp_ctr-th path
+        return gen(pix, samp_ctr * r + replica, issued)
+
+    samp0 = jnp.zeros(n, jnp.int32)
+    issued0 = replica < spp
+    o0, d0, t0, keys0, lam0, lpdf0 = slot_rays(samp0, issued0)
+
+    # Carry inits derived from the ray arrays so every carry has the
+    # varying-manual-axes type under shard_map (sample_offset is
+    # device-varying in the distributed pool).
+    zf = t0 * 0.0
+    rad0 = zf if spectral else zf[:, None] + jnp.zeros(3, jnp.float32)
+    state0 = dict(
+        o=o0, d=d0, time=t0, keys=keys0, lam=lam0, lam_pdf=lpdf0,
+        depth=zf.astype(jnp.int32),
+        thru=rad0 + 1.0, rad=rad0,
+        active=issued0 & (zf == 0.0),
+        samp=samp0 + zf.astype(jnp.int32),
+        # per-slot accumulator, always (n, 3) — XYZ in spectral mode
+        acc=jnp.zeros((n, 3), jnp.float32) + jnp.sum(zf),
+        nrays=jnp.sum(zf).astype(jnp.int32),
+    )
+
+    def cond(st):
+        return jnp.any(st["active"])
+
+    def body(st):
+        upd, died, contrib = _bounce_step(
+            cs, meta, settings, intersect, st, spectral, bg_spd_id)
+        acc = st["acc"] + jnp.where(died[:, None], contrib, 0.0)
+
+        samp = jnp.where(died, st["samp"] + 1, st["samp"])
+        issue = died & (samp * r + replica < spp)
+        o_n, d_n, t_n, k_n, lam_n, lpdf_n = slot_rays(samp, issue)
+        sel = issue[:, None]
+        sel_r = issue if spectral else sel
+        return dict(
+            o=jnp.where(sel, o_n, upd["o"]),
+            d=jnp.where(sel, d_n, upd["d"]),
+            time=jnp.where(issue, t_n, st["time"]),
+            keys=jnp.where(sel, k_n, st["keys"]),
+            lam=jnp.where(issue, lam_n, st["lam"]),
+            lam_pdf=jnp.where(issue, lpdf_n, st["lam_pdf"]),
+            depth=jnp.where(issue, 0, upd["depth"]),
+            thru=jnp.where(sel_r, 1.0, upd["thru"]),
+            rad=jnp.where(sel_r, 0.0, upd["rad"]),
+            active=upd["active"] | issue,
+            samp=samp, acc=acc,
+            nrays=st["nrays"] + upd["nrays"],
+        )
+
+    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth)
+    acc = final["acc"].reshape(r, n_pix, 3).sum(axis=0)
+    return acc, final["nrays"]
+
+
+def _trace_pool_queue(cs, meta, settings, intersect, nx, ny, spp, base_key,
+                      pool_size, spectral, bg_spd_id, sample_offset):
+    """Queue pool for frames larger than the pool: freed slots pull global
+    sample ids (pixel-major) from an on-device counter."""
+    n_pix = nx * ny
+    total = n_pix * spp
+    n = pool_size
+    gen = _make_ray_fns(cs, base_key, nx, ny, n_pix, spectral, sample_offset)
+
+    def sample_to_ray(sample_ids, issued):
+        sid = jnp.where(issued, sample_ids, 0)
+        pix = sid % n_pix
+        samp = sid // n_pix
+        o, d, tme, keys, lam, lpdf = gen(pix, samp, issued)
+        return o, d, tme, keys, pix, lam, lpdf
 
     init_ids = jnp.arange(n, dtype=jnp.int32)
     issued0 = init_ids < total
     o0, d0, t0, keys0, pix0, lam0, lpdf0 = sample_to_ray(init_ids, issued0)
 
-    # Carry inits derived from the ray arrays so every carry has the
-    # varying-manual-axes type under shard_map (sample_offset is
-    # device-varying in the distributed pool; a plain-constant carry would
-    # fail the while_loop carry type check — see primitives.intersect_brute).
-    zf = t0 * 0.0          # (n,) varying zero
-    zs = jnp.sum(zf)       # ()  varying zero
+    zf = t0 * 0.0
+    zs = jnp.sum(zf)
     rad0 = zf if spectral else zf[:, None] + jnp.zeros(3, jnp.float32)
-    thru0 = rad0 + 1.0
     state0 = dict(
         o=o0, d=d0, time=t0, keys=keys0,
         pix=pix0 + zf.astype(jnp.int32), lam=lam0, lam_pdf=lpdf0,
         depth=zf.astype(jnp.int32),
-        thru=thru0, rad=rad0,
+        thru=rad0 + 1.0, rad=rad0,
         active=issued0 & (zf == 0.0),
         next_sample=jnp.int32(min(n, total)) + zs.astype(jnp.int32),
         acc=jnp.zeros((n_pix, 3), jnp.float32) + zs,
@@ -104,88 +264,35 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
         return jnp.any(st["active"])
 
     def body(st):
-        if spectral:
-            o, d, thru, rad, active, nrays, bg_val = path_mod.bounce_spectral(
-                cs, meta, settings, intersect,
-                st["o"], st["d"], st["time"], st["lam"], st["keys"],
-                st["depth"], st["thru"], st["rad"], st["active"], bg_spd_id,
-            )
-        else:
-            o, d, thru, rad, active, nrays = path_mod.bounce_rgb(
-                cs, meta, settings, intersect,
-                st["o"], st["d"], st["time"], st["keys"], st["depth"],
-                st["thru"], st["rad"], st["active"],
-            )
-        depth = st["depth"] + 1
-        capped = active & (depth >= settings.max_depth)
-        if spectral:
-            # Depth cap returns the background SPD at λ (spectral.go:48-52).
-            rad = rad + jnp.where(capped, thru * bg_val, 0.0)
-        else:
-            sentinel = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-            rad = rad + jnp.where(capped[:, None], thru * sentinel[None, :],
-                                  0.0)
-        active = active & ~capped
-
-        died = st["active"] & ~active
-        if spectral:
-            x, y, z = cie.get_cie_values(st["lam"])
-            xyz = jnp.stack([x, y, z], axis=-1)
-            # pdf(λ)=0 only when u drew exactly 0 and landed on CIE_Y[0]=0
-            # — a measure-zero event the reference divides into Inf
-            # (render/spectral.go:95); zeroing it keeps the estimator
-            # unbiased and the canvas finite for firefly rejection. The
-            # final de_nan mirrors the RGB path's per-sample DeNAN
-            # (render/rgb.go:36) which the reference's spectral path lacks
-            # — its canvas NaNs on the quirks documented in
-            # path.bounce_spectral; ours must not.
-            w = jnp.where(st["lam_pdf"] > 0.0, rad / st["lam_pdf"], 0.0)
-            contrib = vm.de_nan(xyz * w[:, None])
-        else:
-            contrib = vm.de_nan(rad)
+        upd, died, contrib = _bounce_step(
+            cs, meta, settings, intersect, st, spectral, bg_spd_id)
         acc = st["acc"].at[st["pix"]].add(
-            jnp.where(died[:, None], contrib, 0.0)
-        )
+            jnp.where(died[:, None], contrib, 0.0))
 
-        free = ~active
+        free = ~upd["active"]
         slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         new_ids = st["next_sample"] + slot_rank
         issue = free & (new_ids < total)
         o_n, d_n, t_n, k_n, pix_n, lam_n, lpdf_n = sample_to_ray(new_ids,
                                                                  issue)
-
         sel = issue[:, None]
         sel_r = issue if spectral else sel
         return dict(
-            o=jnp.where(sel, o_n, o),
-            d=jnp.where(sel, d_n, d),
+            o=jnp.where(sel, o_n, upd["o"]),
+            d=jnp.where(sel, d_n, upd["d"]),
             time=jnp.where(issue, t_n, st["time"]),
             keys=jnp.where(sel, k_n, st["keys"]),
             pix=jnp.where(issue, pix_n, st["pix"]),
             lam=jnp.where(issue, lam_n, st["lam"]),
             lam_pdf=jnp.where(issue, lpdf_n, st["lam_pdf"]),
-            depth=jnp.where(issue, 0, depth),
-            thru=jnp.where(sel_r, 1.0, thru),
-            rad=jnp.where(sel_r, 0.0, rad),
-            active=active | issue,
+            depth=jnp.where(issue, 0, upd["depth"]),
+            thru=jnp.where(sel_r, 1.0, upd["thru"]),
+            rad=jnp.where(sel_r, 0.0, upd["rad"]),
+            active=upd["active"] | issue,
             next_sample=st["next_sample"] + jnp.sum(issue.astype(jnp.int32)),
             acc=acc,
-            nrays=st["nrays"] + nrays,
+            nrays=st["nrays"] + upd["nrays"],
         )
 
-    # The body is a fixpoint once every slot is inactive (all updates are
-    # masked), so over-running iterations after the queue drains is
-    # harmless — and with chunk-granular lax.cond guards, cheap. When the
-    # static iteration bound is tolerable, the whole loop is a fixed-trip
-    # fori with zero dynamic-predicate syncs (~60 ms each on this backend,
-    # the dominant cost of short renders); otherwise a guarded chunked
-    # while with the chunk sized so typical renders (avg depth ≈ 2×
-    # generations heuristic) finish in ONE outer while iteration.
-    bound = -(-total * settings.max_depth // n) + settings.max_depth
-    if bound <= MAX_STATIC_ITERS:
-        final = guarded_fori(bound, cond, body, state0)
-    else:
-        generations = -(-total // n)
-        chunk = max(16, min(256, 2 * generations, bound))
-        final = chunked_while(cond, body, state0, chunk=chunk, guard=True)
+    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth)
     return final["acc"], final["nrays"]

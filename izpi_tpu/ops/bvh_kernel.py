@@ -752,6 +752,8 @@ class BVHKernelIntersector:
             return (jnp.where(improved, t_u, best_t),
                     jnp.where(improved, i_u, best_raw))
 
+        colid = jnp.broadcast_to(
+            jnp.arange(T + 1, dtype=jnp.int32)[None, :], (n_grid, T + 1))
         for _ in range(self.rounds):
             posc = jnp.minimum(pos, T - 1)[:, None]
             cur_tl = jnp.take_along_axis(itin, posc, axis=1)[:, 0]
@@ -759,17 +761,44 @@ class BVHKernelIntersector:
             pending = (pos < T) & (cur_entry < best_t)
             key = jnp.where(pending, cur_tl, T)
             order = jnp.argsort((key << 24) | morton)
+            # Multi-root starts: each tile pushes the union of its rays'
+            # CURRENT treelet roots (≤ MULTI_K) — tile-boundary minorities
+            # then advance in the same round instead of accumulating into
+            # the cleanup pass (with T ~ 50 treelets over 64-256 tiles,
+            # boundary rays are a double-digit fraction of the pool).
+            tile_any = (jnp.zeros((n_grid, T + 1), bool)
+                        .at[ray_tile, key[order]].set(True))[:, :T]
+            n_want = tile_any.sum(axis=1)
+            topk = jnp.sort(jnp.where(tile_any, colid[:, :T], T),
+                            axis=1)[:, :MULTI_K]
+            starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
+            over = n_want > MULTI_K
+            # Overflowing tiles serve only the majority treelet this round.
             tile_tl = key[order][mids]
-            starts = self.treelet_nodes[tile_tl]
+            major_only = jnp.concatenate(
+                [self.treelet_nodes[tile_tl][:, None],
+                 jnp.full((n_grid, MULTI_K - 1), -1, jnp.int32)], axis=1)
+            starts = jnp.where(over[:, None], major_only, starts)
             tcap = jnp.where(pending[order], best_t[order], t_min)
             t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
                           starts=starts, tcap=tcap, raw_idx=True)
             best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
-            # Advance the itinerary only where the ray's tile really did
-            # traverse the ray's own treelet (tile-boundary minorities and
-            # dead tiles retry next round or hit the cleanup pass).
-            ray_tl = jnp.zeros_like(key).at[order].set(tile_tl[ray_tile])
-            pos = pos + (pending & (ray_tl == cur_tl)).astype(jnp.int32)
+            # A ray advances past EVERY consecutive itinerary entry its
+            # tile's start set actually traversed this round (the union
+            # covered those subtrees with the ray's full window, so the
+            # ray's best_t is exact w.r.t. all of them).
+            served = jnp.where(
+                over[:, None],
+                colid[:, :T] == tile_tl[:, None], tile_any)  # (n_grid, T)
+            ray_srv_rows = jnp.zeros((n, T), bool).at[order].set(
+                served[ray_tile])                             # (n, T)
+            srv_it = jnp.take_along_axis(ray_srv_rows, itin, axis=1)
+            jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+            blocked = (jcol >= pos[:, None]) & ~srv_it
+            first_blocked = jnp.where(
+                jnp.any(blocked, axis=1),
+                jnp.argmax(blocked, axis=1).astype(jnp.int32), T)
+            pos = jnp.where(pending, jnp.maximum(pos, first_blocked), pos)
 
         # Exact multi-root cleanup: the rounds leave stragglers (tile-
         # boundary minorities, >rounds crossings). Each cleanup tile pushes
