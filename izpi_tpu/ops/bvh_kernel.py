@@ -46,7 +46,11 @@ from izpi_tpu.accel import bvh_build
 from izpi_tpu.geometry import primitives as prim
 
 TS = 8                 # sublanes per ray tile → 8×128 = 1024 rays/program
-MULTI_K = 16           # max traversal roots a tile can start with
+# Max traversal roots a tile can start with. 64 makes overflow (a tile
+# whose rays' pending treelets exceed it, forcing a full-tree majority
+# walk at ~2 ms/tile vs ~0.1 ms confined) essentially never happen; the
+# cost is 64 unrolled scalar pushes at kernel start and SMEM stack slots.
+MULTI_K = 64
 # Shared-stack depth: 64 for the descent (validated at build) + MULTI_K-1
 # parked sibling roots a multi-root start can leave beneath the descent.
 KSTACK = 64 + MULTI_K
@@ -680,7 +684,7 @@ class BVHKernelIntersector:
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
                  sort: bool = True, interpret: bool | None = None,
                  treelets=None, treelet_nodes=None, two_pass: bool = False,
-                 rebin: bool = False, rounds: int = 3):
+                 rebin: bool = False, rounds: int = 2):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
@@ -728,103 +732,78 @@ class BVHKernelIntersector:
         tile = TS * 128
         n_grid = -(-n // tile)
         T = self.treelets.shape[0]
-        entry = treelet_entries(o, d, self.treelets)          # (n, T)
-        itin = jnp.argsort(entry, axis=1).astype(jnp.int32)   # itinerary
-        entry_sorted = jnp.take_along_axis(entry, itin, axis=1)
-        # rank[i, j] = itinerary position of treelet j for ray i
-        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-        rank = jnp.zeros((n, T), jnp.int32).at[rows, itin].set(
-            jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
-                             (n, T)))
+        assert T < 2048, "sort key packs the treelet id into 11 bits"
+        # Sort ONCE per traverse by (nearest treelet, morton): the per-round
+        # 262k argsort + o/d/time re-gathers measured ~35-50 ms each; later
+        # rounds run on the stale order and rely on multi-root starts to
+        # serve whatever mix a tile ends up wanting (MULTI_K=64 makes
+        # overflow — the expensive full-tree majority walk — rare).
+        entry_u = treelet_entries(o, d, self.treelets)        # (n, T)
         morton = sort_keys(o, d, self.lo, self.hi)            # 24-bit key
-        mids = jnp.minimum(
-            jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
-        ray_tile = jnp.arange(n, dtype=jnp.int32) // tile     # sorted slots
-
+        tl0 = jnp.argmin(entry_u, axis=1).astype(jnp.int32)
+        key0 = jnp.where(jnp.any(jnp.isfinite(entry_u), axis=1), tl0, T)
+        order = jnp.argsort((key0 << 20) | (morton >> 4))
+        o_s, d_s, tm_s = o[order], d[order], time[order]
+        entry = entry_u[order]
+        todo = jnp.isfinite(entry)
         best_t = jnp.full((n,), prim.T_MAX, jnp.float32)
         best_raw = jnp.full((n,), -1, jnp.int32)
-        pos = jnp.zeros((n,), jnp.int32)
 
-        def accept(order, t_r, i_r, best_t, best_raw):
-            t_u = jnp.zeros_like(t_r).at[order].set(t_r)
-            i_u = jnp.full_like(i_r, -1).at[order].set(i_r)
-            improved = (i_u >= 0) & (t_u < best_t)
-            return (jnp.where(improved, t_u, best_t),
-                    jnp.where(improved, i_u, best_raw))
+        mids = jnp.minimum(
+            jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
+        ray_tile = jnp.arange(n, dtype=jnp.int32) // tile
+        jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
 
-        colid = jnp.broadcast_to(
-            jnp.arange(T + 1, dtype=jnp.int32)[None, :], (n_grid, T + 1))
-        for _ in range(self.rounds):
-            posc = jnp.minimum(pos, T - 1)[:, None]
-            cur_tl = jnp.take_along_axis(itin, posc, axis=1)[:, 0]
-            cur_entry = jnp.take_along_axis(entry_sorted, posc, axis=1)[:, 0]
-            pending = (pos < T) & (cur_entry < best_t)
-            key = jnp.where(pending, cur_tl, T)
-            order = jnp.argsort((key << 24) | morton)
-            # Multi-root starts: each tile pushes the union of its rays'
-            # CURRENT treelet roots (≤ MULTI_K) — tile-boundary minorities
-            # then advance in the same round instead of accumulating into
-            # the cleanup pass (with T ~ 50 treelets over 64-256 tiles,
-            # boundary rays are a double-digit fraction of the pool).
-            tile_any = (jnp.zeros((n_grid, T + 1), bool)
-                        .at[ray_tile, key[order]].set(True))[:, :T]
-            n_want = tile_any.sum(axis=1)
-            topk = jnp.sort(jnp.where(tile_any, colid[:, :T], T),
-                            axis=1)[:, :MULTI_K]
+        def step(todo, best_t, best_raw, remaining_union: bool):
+            """One confined pass: pick each ray's nearest still-useful
+            treelet (masked argmin of entry — O(nT), no sorts), push per
+            tile the union of its rays' roots (≤ MULTI_K; overflow → the
+            tile-middle majority only), traverse, fold in hits, and clear
+            every treelet each tile's union actually covered.
+            remaining_union=True (the cleanup pass) pushes the union of ALL
+            still-useful treelets per tile, not just the nearest ones."""
+            masked = jnp.where(todo & (entry < best_t[:, None]), entry,
+                               jnp.inf)
+            cur_entry = jnp.min(masked, axis=1)
+            pending = jnp.isfinite(cur_entry)
+            key = jnp.where(pending, jnp.argmin(masked, axis=1)
+                            .astype(jnp.int32), T)
+            if remaining_union:
+                want = jnp.isfinite(masked)                   # (n, T)
+                tile_any = want.reshape(n_grid, tile, T).any(axis=1)
+            else:
+                tile_any = (jnp.zeros((n_grid, T + 1), bool)
+                            .at[ray_tile, key].set(True))[:, :T]
+            k_roots = min(MULTI_K, T)
+            topk = jnp.sort(jnp.where(tile_any, jcol, T),
+                            axis=1)[:, :k_roots]
             starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
-            over = n_want > MULTI_K
-            # Overflowing tiles serve only the majority treelet this round.
-            tile_tl = key[order][mids]
+            over = tile_any.sum(axis=1) > k_roots
+            tile_tl = key[mids]
             major_only = jnp.concatenate(
-                [self.treelet_nodes[tile_tl][:, None],
-                 jnp.full((n_grid, MULTI_K - 1), -1, jnp.int32)], axis=1)
+                [self.treelet_nodes[jnp.minimum(tile_tl, T)][:, None],
+                 jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
             starts = jnp.where(over[:, None], major_only, starts)
-            tcap = jnp.where(pending[order], best_t[order], t_min)
-            t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
+            served = jnp.where(over[:, None], jcol == tile_tl[:, None],
+                               tile_any)                      # (n_grid, T)
+            tcap = jnp.where(pending, best_t, t_min)
+            t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,
                           starts=starts, tcap=tcap, raw_idx=True)
-            best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
-            # A ray advances past EVERY consecutive itinerary entry its
-            # tile's start set actually traversed this round (the union
-            # covered those subtrees with the ray's full window, so the
-            # ray's best_t is exact w.r.t. all of them).
-            served = jnp.where(
-                over[:, None],
-                colid[:, :T] == tile_tl[:, None], tile_any)  # (n_grid, T)
-            ray_srv_rows = jnp.zeros((n, T), bool).at[order].set(
-                served[ray_tile])                             # (n, T)
-            srv_it = jnp.take_along_axis(ray_srv_rows, itin, axis=1)
-            jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
-            blocked = (jcol >= pos[:, None]) & ~srv_it
-            first_blocked = jnp.where(
-                jnp.any(blocked, axis=1),
-                jnp.argmax(blocked, axis=1).astype(jnp.int32), T)
-            pos = jnp.where(pending, jnp.maximum(pos, first_blocked), pos)
+            improved = (i_r >= 0) & (t_r < best_t)
+            best_t = jnp.where(improved, t_r, best_t)
+            best_raw = jnp.where(improved, i_r, best_raw)
+            todo = todo & ~(served[ray_tile] & pending[:, None])
+            return todo, best_t, best_raw
 
-        # Exact multi-root cleanup: the rounds leave stragglers (tile-
-        # boundary minorities, >rounds crossings). Each cleanup tile pushes
-        # the UNION of its rays' remaining treelet subtree roots — never the
-        # full tree unless a tile's demand set overflows MULTI_K.
-        posc = jnp.minimum(pos, T - 1)[:, None]
-        cur_tl = jnp.take_along_axis(itin, posc, axis=1)[:, 0]
-        cur_entry = jnp.take_along_axis(entry_sorted, posc, axis=1)[:, 0]
-        pending = (pos < T) & (cur_entry < best_t)
-        remaining = ((entry < best_t[:, None]) & (rank >= pos[:, None])
-                     & pending[:, None])                      # (n, T)
-        key = jnp.where(pending, cur_tl, T)
-        order = jnp.argsort((key << 24) | morton)
-        tile_any = remaining[order].reshape(n_grid, tile, T).any(axis=1)
-        colid = jnp.broadcast_to(
-            jnp.arange(T, dtype=jnp.int32)[None, :], (n_grid, T))
-        topk = jnp.sort(jnp.where(tile_any, colid, T), axis=1)[:, :MULTI_K]
-        starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
-        over = tile_any.sum(axis=1) > MULTI_K
-        root_only = jnp.where(
-            jnp.arange(MULTI_K, dtype=jnp.int32)[None, :] == 0, 0, -1)
-        starts = jnp.where(over[:, None], root_only, starts)
-        tcap = jnp.where(pending[order], best_t[order], t_min)
-        t_r, i_r = fn(o[order], d[order], time[order], t_min, t_max,
-                      starts=starts, tcap=tcap, raw_idx=True)
-        best_t, best_raw = accept(order, t_r, i_r, best_t, best_raw)
+        for _ in range(self.rounds):
+            todo, best_t, best_raw = step(todo, best_t, best_raw, False)
+        # Exact cleanup: whatever the rounds left. With MULTI_K=64 and the
+        # union-of-remaining start set, an already-drained pool makes this
+        # a no-op launch (all starts -1).
+        todo, best_t, best_raw = step(todo, best_t, best_raw, True)
+
+        best_t = jnp.zeros_like(best_t).at[order].set(best_t)
+        best_raw = jnp.full_like(best_raw, -1).at[order].set(best_raw)
         idx = jnp.where(best_raw >= 0,
                         self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
         return best_t, idx
@@ -887,7 +866,7 @@ REBIN_NODES = 4096
 
 def attach(cs, seed: int = 1, sort: bool = True,
            interpret: bool | None = None, two_pass: bool = False,
-           rebin: bool | None = None, rounds: int = 3,
+           rebin: bool | None = None, rounds: int = 2,
            treelet_target: int = 48):
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
