@@ -36,15 +36,24 @@ def _guarded(cond, body):
 
 def guarded_fori(n_iters: int, cond, body, state, chunk: int = 8):
     """Run `body` while `cond` holds, as a static fori_loop over
-    cond-guarded chunks. `n_iters` must upper-bound the true trip count."""
+    cond-guarded chunks. The total trip count NEVER exceeds `n_iters`:
+    floor(n/chunk) full chunks plus one exact remainder chunk, so callers
+    whose body is not a fixpoint past iteration `n_iters` (e.g. a bounce
+    loop with a depth cap, reference colour.go:34-36) stay exact even when
+    chunk does not divide n_iters."""
     chunk = max(1, min(chunk, n_iters))
-    n_chunks = -(-n_iters // chunk)
+    n_full, rem = divmod(n_iters, chunk)
 
-    def chunk_body(st):
-        return jax.lax.fori_loop(0, chunk, lambda _i, s: body(s), st)
+    def make_chunk_body(span):
+        def chunk_body(st):
+            return jax.lax.fori_loop(0, span, lambda _i, s: body(s), st)
+        return chunk_body
 
-    g = _guarded(cond, chunk_body)
-    return jax.lax.fori_loop(0, n_chunks, lambda _i, s: g(s), state)
+    g = _guarded(cond, make_chunk_body(chunk))
+    state = jax.lax.fori_loop(0, n_full, lambda _i, s: g(s), state)
+    if rem:
+        state = _guarded(cond, make_chunk_body(rem))(state)
+    return state
 
 
 def chunked_while(cond, body, state, chunk: int, guard: bool = False,

@@ -780,11 +780,28 @@ class BVHKernelIntersector:
             starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
             over = tile_any.sum(axis=1) > k_roots
             tile_tl = key[mids]
-            major_only = jnp.concatenate(
-                [self.treelet_nodes[jnp.minimum(tile_tl, T)][:, None],
-                 jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
-            starts = jnp.where(over[:, None], major_only, starts)
-            served = jnp.where(over[:, None], jcol == tile_tl[:, None],
+            if remaining_union:
+                # Overflow in the CLEANUP pass must stay exact: there is no
+                # later pass to catch dropped treelets, so fall back to a
+                # full-tree root walk, which serves every treelet.
+                fallback = jnp.concatenate(
+                    [jnp.zeros((n_grid, 1), jnp.int32),
+                     jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
+                served_over = jnp.ones((n_grid, T), bool)
+            else:
+                # Mid-round overflow: traverse only the tile-middle
+                # majority treelet (stragglers go to the cleanup pass). A
+                # tile whose middle ray is not pending (tile_tl == T) gets
+                # a no-op start — treelet_nodes[T] is the root, and a full
+                # root walk that serves NOTHING is pure waste.
+                fallback = jnp.concatenate(
+                    [jnp.where(tile_tl < T,
+                               self.treelet_nodes[jnp.minimum(tile_tl, T - 1)],
+                               -1)[:, None],
+                     jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
+                served_over = jcol == tile_tl[:, None]
+            starts = jnp.where(over[:, None], fallback, starts)
+            served = jnp.where(over[:, None], served_over,
                                tile_any)                      # (n_grid, T)
             tcap = jnp.where(pending, best_t, t_min)
             t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,

@@ -120,3 +120,23 @@ def test_rng_pixel_independence():
     u = rng.bounce_uniforms(keys, jnp.int32(0), 2)
     assert u.shape == (4, 2)
     assert len(np.unique(np.asarray(u))) == 8
+
+
+@pytest.mark.parametrize("n_iters,chunk", [(50, 8), (7, 8), (16, 4), (1, 8)])
+def test_guarded_fori_exact_trip_count(n_iters, chunk):
+    # The bounce loop's body is NOT a fixpoint past the depth cap
+    # (colour.go:34-36 semantics): guarded_fori must run EXACTLY n_iters
+    # iterations while cond holds — never ceil(n/chunk)*chunk.
+    from izpi_tpu.core.loops import guarded_fori
+
+    def body(s):
+        return s + 1
+
+    out = guarded_fori(n_iters, lambda s: s < 10_000, body, jnp.int32(0),
+                       chunk=chunk)
+    assert int(out) == n_iters
+    # And the guard still short-circuits when cond goes false.
+    out = guarded_fori(n_iters, lambda s: s < 3, body, jnp.int32(0),
+                       chunk=chunk)
+    want_min = min(3, n_iters)
+    assert want_min <= int(out) <= min(n_iters, ((3 // chunk) + 1) * chunk)
