@@ -75,7 +75,9 @@ def write_exr(path: str, image: np.ndarray, aces: bool = False) -> None:
 
     header = b""
     header += _exr_attr(b"channels", b"chlist", channels)
-    header += _exr_attr(b"compression", b"compression", struct.pack("B", 3))  # ZIP
+    # ZIPS (one scanline per chunk) — this writer emits 1-line chunks, and
+    # declaring ZIP (16-line chunks) would make standard readers misparse.
+    header += _exr_attr(b"compression", b"compression", struct.pack("B", 2))
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header += _exr_attr(b"dataWindow", b"box2i", box)
     header += _exr_attr(b"displayWindow", b"box2i", box)
@@ -197,12 +199,41 @@ def _read_pfm(path: str) -> np.ndarray:
     return data.reshape(h, w, 3)[::-1].astype(np.float32)
 
 
+_EXR_PIXSIZE = {0: 4, 1: 2, 2: 4}   # UINT, HALF, FLOAT
+_EXR_DTYPE = {0: np.uint32, 1: np.float16, 2: np.float32}
+_EXR_COMP_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
+                   5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
+
+
+def _exr_unzip(raw: bytes, expect: int) -> bytes:
+    """Invert EXR's deflate + delta predictor + two-way interleave."""
+    if len(raw) == expect:          # stored uncompressed (zip didn't shrink)
+        return raw
+    delta = np.frombuffer(zlib.decompress(raw), np.uint8).astype(np.int64)
+    rec = np.cumsum(
+        np.concatenate([delta[:1], delta[1:] - 128])).astype(np.uint8)
+    half = (len(rec) + 1) // 2
+    deinter = np.empty(len(rec), np.uint8)
+    deinter[:half] = rec[0::2]
+    deinter[half:] = rec[1::2]
+    return deinter.tobytes()
+
+
 def _read_exr(path: str) -> np.ndarray:
-    """Minimal reader for the EXRs this module writes (ZIP/None, FLOAT,
-    B/G/R channels)."""
+    """General single-part scanline EXR reader: HALF/FLOAT/UINT pixels, any
+    channel names/order, NONE/ZIPS/ZIP compression, increasing or decreasing
+    line order. PIZ and the other lossy codecs raise a clear error (the
+    reference reads those via OpenImageIO, texture/image.go:31-59; convert
+    such assets with `exrheader`/`oiiotool --compression zip` first).
+    Returns (H, W, 3) float32 RGB (Y broadcast for grayscale files)."""
     with open(path, "rb") as f:
         data = f.read()
-    assert struct.unpack("<i", data[:4])[0] == 20000630
+    assert struct.unpack("<i", data[:4])[0] == 20000630, "not an EXR file"
+    version = struct.unpack("<i", data[4:8])[0]
+    if version & 0x200:
+        raise ValueError("tiled EXR is not supported (scanline only)")
+    if version & 0x1000:
+        raise ValueError("multi-part EXR is not supported")
     pos = 8
     attrs = {}
     while data[pos] != 0:
@@ -217,29 +248,69 @@ def _read_exr(path: str) -> np.ndarray:
         attrs[name] = (type_, data[pos:pos + size])
         pos += size
     pos += 1
+
+    # channel list: (name, pixel_type) in file order (EXR stores them
+    # alphabetically; scanline data follows this order)
+    chans = []
+    cdata = attrs["channels"][1]
+    cpos = 0
+    while cdata[cpos] != 0:
+        end = cdata.index(b"\0", cpos)
+        cname = cdata[cpos:end].decode()
+        cpos = end + 1
+        ptype, _, _, _, _, sx, sy = struct.unpack(
+            "<iBBBBii", cdata[cpos:cpos + 16])
+        cpos += 16
+        if sx != 1 or sy != 1:
+            raise ValueError(f"subsampled channel {cname!r} not supported")
+        if ptype not in _EXR_PIXSIZE:
+            raise ValueError(f"unknown pixel type {ptype} for {cname!r}")
+        chans.append((cname, ptype))
+
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
-    offsets = struct.unpack(f"<{h}q", data[pos:pos + 8 * h])
-    out = np.zeros((h, w, 3), np.float32)
+    if comp not in (0, 2, 3):
+        raise ValueError(
+            f"EXR compression {_EXR_COMP_NAMES.get(comp, comp)} is not "
+            f"supported — re-encode with ZIP/ZIPS/NONE (e.g. "
+            f"`oiiotool in.exr --compression zip -o out.exr`)")
+    lines_per_block = 16 if comp == 3 else 1
+    n_blocks = -(-h // lines_per_block)
+    line_order = attrs.get("lineOrder", (None, b"\0"))[1][0]
+
+    offsets = struct.unpack(f"<{n_blocks}q", data[pos:pos + 8 * n_blocks])
+    bytes_per_line = sum(w * _EXR_PIXSIZE[pt] for _, pt in chans)
+    planes = {cname: np.zeros((h, w), np.float32) for cname, _ in chans}
     for off in offsets:
         y, size = struct.unpack("<ii", data[off:off + 8])
+        y -= y0
+        n_lines = min(lines_per_block, h - y)
         raw = data[off + 8: off + 8 + size]
-        expect = w * 4 * 3
-        if comp == 3 and size != expect:
-            delta = np.frombuffer(zlib.decompress(raw), np.uint8).astype(np.int64)
-            # Invert the delta predictor: rec[i] = rec[i-1] + delta[i] - 128.
-            rec = np.cumsum(
-                np.concatenate([delta[:1], delta[1:] - 128])
-            ).astype(np.uint8)
-            # Invert the two-way interleave.
-            half = (len(rec) + 1) // 2
-            deinter = np.empty(len(rec), np.uint8)
-            deinter[:half] = rec[0::2]
-            deinter[half:] = rec[1::2]
-            raw = deinter.tobytes()
-        row = np.frombuffer(raw, np.float32).reshape(3, w)
-        out[y, :, 0] = row[2]
-        out[y, :, 1] = row[1]
-        out[y, :, 2] = row[0]
+        if comp in (2, 3):
+            raw = _exr_unzip(raw, bytes_per_line * n_lines)
+        lpos = 0
+        for ly in range(y, y + n_lines):
+            for cname, ptype in chans:
+                nbytes = w * _EXR_PIXSIZE[ptype]
+                vals = np.frombuffer(raw[lpos:lpos + nbytes],
+                                     _EXR_DTYPE[ptype])
+                planes[cname][ly] = vals.astype(np.float32)
+                lpos += nbytes
+    if line_order == 1:  # DECREASING_Y: chunks are ordered bottom-up but
+        pass             # each chunk's y coordinate is absolute — no flip.
+
+    names = {c for c, _ in chans}
+    out = np.zeros((h, w, 3), np.float32)
+    if {"R", "G", "B"} <= names:
+        for i, c in enumerate("RGB"):
+            out[..., i] = planes[c]
+    elif "Y" in names:
+        out[:] = planes["Y"][..., None]
+    else:
+        picks = [c for c, _ in chans][:3]
+        for i, c in enumerate(picks):
+            out[..., i] = planes[c]
+        for i in range(len(picks), 3):
+            out[..., i] = out[..., max(len(picks) - 1, 0)]
     return out

@@ -108,3 +108,144 @@ def test_preview_server_serves_live_png(tmp_path):
         assert png2 != png
     finally:
         srv.stop()
+
+
+def _write_external_exr(path, planes, ptype, comp, lines_per_block=None):
+    """Emulate an OIIO-style EXR: arbitrary channels (alphabetical),
+    HALF/FLOAT, NONE/ZIPS/ZIP(16-line) compression — the file classes the
+    reference loads via OpenImageIO (texture/image.go:31-59)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    names = sorted(planes)
+    h, w = planes[names[0]].shape
+    dt = {1: np.float16, 2: np.float32}[ptype]
+    lpb = lines_per_block or (16 if comp == 3 else 1)
+
+    chan = b""
+    for nm in names:
+        chan += nm.encode() + b"\0" + struct.pack(
+            "<iBBBBii", ptype, 0, 0, 0, 0, 1, 1)
+    chan += b"\0"
+
+    def attr(n, t, d):
+        return n + b"\0" + t + b"\0" + struct.pack("<i", len(d)) + d
+
+    header = attr(b"channels", b"chlist", chan)
+    header += attr(b"compression", b"compression", struct.pack("B", comp))
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += attr(b"dataWindow", b"box2i", box)
+    header += attr(b"displayWindow", b"box2i", box)
+    header += attr(b"lineOrder", b"lineOrder", struct.pack("B", 0))
+    header += attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+    header += attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    def exr_zip(raw):
+        data = np.frombuffer(raw, np.uint8)
+        half = (len(data) + 1) // 2
+        inter = np.empty(len(data), np.uint8)
+        inter[0::2] = data[:half]
+        inter[1::2] = data[half:]
+        delta = np.empty(len(data), np.uint8)
+        delta[0] = inter[0]
+        delta[1:] = (inter[1:].astype(np.int16) - inter[:-1].astype(np.int16)
+                     + 128).astype(np.uint8)
+        out = zlib.compress(delta.tobytes())
+        return out if len(out) < len(raw) else raw
+
+    blocks = []
+    y = 0
+    while y < h:
+        n_lines = min(lpb, h - y)
+        raw = b""
+        for ly in range(y, y + n_lines):
+            for nm in names:
+                raw += planes[nm][ly].astype(dt).tobytes()
+        payload = exr_zip(raw) if comp in (2, 3) else raw
+        blocks.append(struct.pack("<ii", y, len(payload)) + payload)
+        y += n_lines
+
+    magic = struct.pack("<i", 20000630) + struct.pack("<i", 2)
+    base = len(magic) + len(header) + 8 * len(blocks)
+    offsets, pos = [], base
+    for blk in blocks:
+        offsets.append(pos)
+        pos += len(blk)
+    with open(path, "wb") as f:
+        f.write(magic)
+        f.write(header)
+        for off in offsets:
+            f.write(struct.pack("<q", off))
+        for blk in blocks:
+            f.write(blk)
+
+
+def test_exr_half_zip16_roundtrip(tmp_path):
+    """HALF pixels + real 16-scanline ZIP blocks + alpha channel + RGB in
+    alphabetical (A,B,G,R) order — the natural shape of a downloaded HDRI."""
+    import numpy as np
+
+    from izpi_tpu.io import output
+
+    rs = np.random.RandomState(3)
+    img = (rs.rand(37, 23, 3) * 8).astype(np.float32)
+    planes = {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2],
+              "A": np.ones_like(img[..., 0])}
+    for ptype, comp, tol in ((1, 3, 4e-3), (2, 3, 0), (1, 2, 4e-3),
+                             (2, 0, 0)):
+        p = str(tmp_path / f"t_{ptype}_{comp}.exr")
+        _write_external_exr(p, planes, ptype, comp)
+        got = output.read_image(p)
+        ref = img.astype(np.float16).astype(np.float32) if ptype == 1 else img
+        np.testing.assert_allclose(got, ref, atol=tol, rtol=tol)
+
+
+def test_exr_grayscale_y(tmp_path):
+    import numpy as np
+
+    from izpi_tpu.io import output
+
+    y = np.linspace(0, 4, 5 * 7, dtype=np.float32).reshape(5, 7)
+    p = str(tmp_path / "gray.exr")
+    _write_external_exr(p, {"Y": y}, 2, 2)
+    got = output.read_image(p)
+    for c in range(3):
+        np.testing.assert_allclose(got[..., c], y)
+
+
+def test_exr_piz_clear_error(tmp_path):
+    import numpy as np
+    import pytest
+
+    from izpi_tpu.io import output
+
+    img = np.zeros((4, 4), np.float32)
+    p = str(tmp_path / "piz.exr")
+    _write_external_exr(p, {"R": img, "G": img, "B": img}, 2, 0)
+    # flip the compression byte to PIZ (4) in place
+    data = bytearray(open(p, "rb").read())
+    i = data.index(b"compression\0compression\0")
+    data[i + len(b"compression\0compression\0") + 4] = 4
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="PIZ"):
+        output.read_image(p)
+
+
+def test_exr_writer_declares_zips(tmp_path):
+    """The writer emits one-scanline chunks, so it must declare ZIPS (2),
+    not ZIP (3, 16-line chunks) — standard readers misparse otherwise."""
+    import numpy as np
+
+    from izpi_tpu.io import output
+
+    img = np.random.RandomState(0).rand(9, 6, 3).astype(np.float32)
+    p = str(tmp_path / "w.exr")
+    output.write_exr(p, img)
+    data = open(p, "rb").read()
+    i = data.index(b"compression\0compression\0")
+    assert data[i + len(b"compression\0compression\0") + 4] == 2
+    np.testing.assert_allclose(output.read_image(p), img)
