@@ -155,31 +155,33 @@ def build_pool_renderer(cs, meta, settings, intersect, nx: int, ny: int,
 def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
                                      mesh: Mesh, spp: int,
                                      spectral: bool = False,
-                                     pool_size: int = 1 << 16):
+                                     pool_size: int = 1 << 16,
+                                     use_bvh: Optional[bool] = None):
     """Primitive-sharded production renderer — the >HBM-scene path (the
     reference streams triangles so every worker holds the whole scene,
-    worker/setup.go:97-153; on TPU the natural inversion shards the
-    primitive SoA so each chip holds 1/N of the geometry).
+    worker/setup.go:97-153 + 292-306; on TPU the natural inversion shards
+    the primitive SoA so each chip holds 1/N of the geometry AND builds a
+    per-shard BVH4 over its local slice — the sharded analog of each
+    worker's post-streaming NewBVH4 build).
 
     Unlike sample sharding, RAYS ARE REPLICATED: every device runs the
     identical pool over the full sample range against its local prims, the
     closest hit reduces over ICI inside every bounce
     (make_sharded_intersector), and the identical replicated loop keeps the
     while-loop condition in lockstep — collectives inside the bounce loop
-    would deadlock otherwise. PBR scenes are rejected: their shading
-    gathers index the prim SoA by global id, which cannot cross shards."""
+    would deadlock otherwise. PBR is supported: the winner's GLOBAL prim id
+    (via the shard's local→global map) indexes the small replicated shading
+    tables (kind + tangent frames) that strip_replicated_geometry keeps."""
     from izpi_tpu.integrator import wavefront
 
-    if meta.has_pbr:
-        raise ValueError("prim-sharded rendering does not support PBR "
-                         "scenes (shading gathers cross shards)")
-    pad_prims, intersect_local = make_sharded_intersector(cs, mesh)
-    prims_padded = pad_prims(cs.prims)
+    shard_args, intersect_local = make_sharded_intersector(cs, mesh,
+                                                           use_bvh=use_bvh)
+    cs_rep = strip_replicated_geometry(cs)
     bg_spd_id = meta.spectral_background_spd or 0
     pool = min(pool_size, nx * ny * spp)
 
-    def shard_body(local_prims, cs_rep, key):
-        intersect = partial(intersect_local, local_prims)
+    def shard_body(local, cs_rep, key):
+        intersect = partial(intersect_local, local)
         acc, nrays = wavefront.trace_pool(
             cs_rep, meta, settings, intersect, nx, ny, spp, key, pool,
             spectral=spectral, bg_spd_id=bg_spd_id)
@@ -193,9 +195,27 @@ def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
             shard_body, mesh=mesh,
             in_specs=(P(TILE_AXIS), P(), P()), out_specs=(P(), P()),
             check_vma=False)
-        return fn(prims_padded, cs, key)
+        return fn(shard_args, cs_rep, key)
 
     return run
+
+
+def strip_replicated_geometry(cs):
+    """The replicated CompiledScene for prim-sharded rendering: the
+    geometry SoA lives sharded (make_sharded_intersector), so its
+    replicated copy shrinks to 1-row dummies. Only the post-intersect
+    shading tables stay full: `kind` (triangle check) and `tb` (tangent
+    frames), which _pbr_normals gathers by GLOBAL prim id — 7 floats/prim
+    replicated vs ~27 sharded."""
+    p = cs.prims
+
+    def one(x):
+        return x[:1] * 0
+
+    return cs._replace(prims=p._replace(
+        g0=one(p.g0), g1=one(p.g1), g2=one(p.g2), g3=one(p.g3),
+        mat_id=one(p.mat_id), flip=one(p.flip), uv=one(p.uv),
+        vn=one(p.vn), has_vn=one(p.has_vn)))
 
 
 def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
@@ -258,50 +278,132 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         image=canvas, rays_traced=int(rays), seconds=seconds, phases=phases)
 
 
-def make_sharded_intersector(cs, mesh: Mesh):
+class PrimShards:
+    """Device arrays for the prim-sharded intersector, each with a leading
+    axis of n_dev equal chunks (shard with in_specs=P(TILE_AXIS)):
+    the local primitive SoA (per-shard-BVH-reordered), the local→ORIGINAL
+    global prim id map, and the per-shard BVH4 node tables."""
+
+    def __init__(self, prims, gmap, bounds, child, count):
+        self.prims = prims
+        self.gmap = gmap
+        self.bounds = bounds
+        self.child = child
+        self.count = count
+
+    def tree_flatten(self):
+        return ((self.prims, self.gmap, self.bounds, self.child,
+                 self.count), None)
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    PrimShards, lambda s: s.tree_flatten(),
+    lambda aux, ch: PrimShards.tree_unflatten(aux, ch))
+
+
+def make_sharded_intersector(cs, mesh: Mesh, use_bvh: Optional[bool] = None,
+                             seed: int = 1):
     """Primitive-sharded closest hit — the >HBM-scene path (SURVEY §2.6
-    "geometry streaming": the reference streams triangles to every worker,
-    leader/leader.go:34 + worker/setup.go:97-153; on TPU the natural design
-    shards the primitive SoA across the mesh instead so each chip holds 1/N
-    of the scene).
+    "geometry streaming": the reference streams triangles to every worker
+    which then builds its own BVH4, leader/leader.go:34 +
+    worker/setup.go:97-153,292-306; on TPU the natural design shards the
+    primitive SoA across the mesh so each chip holds 1/N of the scene and
+    traverses a BVH4 built over its local slice).
 
     Usable INSIDE a shard_map body whose rays are replicated over
-    TILE_AXIS: each shard brute-intersects its local prims, the winning t
+    TILE_AXIS: each shard intersects its local prims (per-shard BVH4
+    traversal for big slices, brute force for small ones), the winning t
     reduces with a pmin over ICI, ties break to the lowest shard (exactly
     one winner), and the winner's full shading record psums to everyone.
+    prim_idx comes back in the ORIGINAL global numbering, so the small
+    replicated shading tables (strip_replicated_geometry) index directly.
 
-    Returns (cs_padded_local_fn, intersect_fn) where intersect_fn has the
-    standard IntersectFn signature. Call under shard_map with the prims
-    sharded P(TILE_AXIS) and everything else replicated."""
+    Returns (shard_args: PrimShards, intersect_fn(local, o, d, time, t_min,
+    t_max)). Pass shard_args through shard_map with in_specs P(TILE_AXIS)."""
+    from izpi_tpu.accel import bvh_build, traverse
+    from izpi_tpu.geometry import primitives as prim
+    from izpi_tpu.scene import compiler as compiler_mod
+
     n_dev = mesh.devices.size
+    host = compiler_mod.host_prims_for(cs.prims)
+    if host is None:
+        host = prim.Prims(*jax.device_get(list(cs.prims)))
+    host = prim.Prims(*[np.asarray(f) for f in host])
+    p_total = host.count
+    if use_bvh is None:
+        use_bvh = p_total >= 1024
+    per = -(-p_total // n_dev)
 
-    def pad_prims(prims):
-        p = prims.count
-        pad = (-p) % n_dev
+    prim_fields = [[] for _ in host]
+    gmaps, node_b, node_c, node_n = [], [], [], []
+    nn_max = 1
+    for dv in range(n_dev):
+        lo, hi = dv * per, min((dv + 1) * per, p_total)
+        loc = prim.Prims(*[f[lo:hi] for f in host])
+        gidx = np.arange(lo, hi, dtype=np.int32)
+        if use_bvh and loc.count > 0:
+            arrays = bvh_build.build_bvh4(loc, seed, method="sah")
+            errors = bvh_build.validate(arrays, loc.count,
+                                        stack_depth=traverse.STACK_DEPTH)
+            if errors:
+                raise AssertionError(
+                    f"shard {dv} BVH4 validation failed: {errors[:3]}")
+            order = np.asarray(arrays.prim_order)
+            loc = prim.Prims(*[np.asarray(f)[order] for f in loc])
+            gidx = gidx[order]
+            b, c, n_ = (np.asarray(arrays.bounds),
+                        np.asarray(arrays.child), np.asarray(arrays.count))
+        else:
+            # single always-miss node: brute mode never reads it
+            b = np.zeros((1, 24), np.float32)
+            c = np.zeros((1, 4), np.int32)
+            n_ = np.full((1, 4), -1, np.int32)
+        pad = per - loc.count
+        if pad:
+            fills = dict(kind=prim.KIND_NONE, mat_id=-1)
+            loc = prim.Prims(*[
+                np.pad(np.asarray(f), [(0, pad)] + [(0, 0)] * (f.ndim - 1),
+                       constant_values=fills.get(name, 0))
+                for name, f in zip(prim.Prims._fields, loc)])
+            gidx = np.pad(gidx, (0, pad), constant_values=-1)
+        for i, f in enumerate(loc):
+            prim_fields[i].append(np.asarray(f))
+        gmaps.append(gidx)
+        node_b.append(b)
+        node_c.append(c)
+        node_n.append(n_)
+        nn_max = max(nn_max, b.shape[0])
 
-        def pad_field(x, fill=0):
-            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths, constant_values=fill)
+    def pad_nodes(arrs, fill):
+        out = []
+        for a in arrs:
+            p = nn_max - a.shape[0]
+            out.append(np.pad(a, [(0, p), (0, 0)], constant_values=fill))
+        return np.concatenate(out)
 
-        from izpi_tpu.geometry import primitives as prim
+    shard_args = PrimShards(
+        prims=prim.Prims(*[jnp.asarray(np.concatenate(fs))
+                           for fs in prim_fields]),
+        gmap=jnp.asarray(np.concatenate(gmaps)),
+        bounds=jnp.asarray(pad_nodes(node_b, 0.0)),
+        child=jnp.asarray(pad_nodes(node_c, 0)),
+        count=jnp.asarray(pad_nodes(node_n, -1)),
+    )
 
-        return prim.Prims(
-            kind=pad_field(prims.kind, prim.KIND_NONE),
-            g0=pad_field(prims.g0), g1=pad_field(prims.g1),
-            g2=pad_field(prims.g2), g3=pad_field(prims.g3),
-            mat_id=pad_field(prims.mat_id, -1),
-            flip=pad_field(prims.flip),
-            uv=pad_field(prims.uv), vn=pad_field(prims.vn),
-            has_vn=pad_field(prims.has_vn), tb=pad_field(prims.tb),
-        )
-
-    def intersect_local(local_prims, o, d, time, t_min, t_max):
-        from izpi_tpu.geometry import primitives as prim
-
+    def intersect_local(local: PrimShards, o, d, time, t_min, t_max):
         # Rays arrive replicated; the local prims are device-varying, so
-        # promote the rays too or the brute-force loop carries mix types.
+        # promote the rays too or the traversal loop carries mixed types.
         o, d, time = jax.lax.pvary((o, d, time), (TILE_AXIS,))
-        rec = prim.intersect_brute(local_prims, o, d, time, t_min, t_max)
+        if use_bvh:
+            bvh = traverse.BVH4Device(local.bounds, local.child, local.count)
+            rec = traverse.intersect_bvh(local.prims, bvh, o, d, time,
+                                         t_min, t_max)
+        else:
+            rec = prim.intersect_brute(local.prims, o, d, time, t_min, t_max)
         me = jax.lax.axis_index(TILE_AXIS)
         big = jnp.float32(prim.T_MAX)
         key = jnp.where(rec.hit, rec.t, big)
@@ -318,10 +420,10 @@ def make_sharded_intersector(cs, mesh: Mesh):
             return jax.lax.psum(masked, TILE_AXIS)
 
         any_hit = jax.lax.pmax(rec.hit.astype(jnp.int32), TILE_AXIS) > 0
-        # Local → global primitive index (mat ids are already global).
-        # Shading gathers that index the prim SoA (PBR tangent frames)
-        # cannot cross shards, so this mode is for non-PBR scenes.
-        gidx = rec.prim_idx + me * local_prims.count
+        # Local → ORIGINAL global primitive index via the shard's map
+        # (mat ids are already global); PBR's post-intersect gathers index
+        # the replicated kind/tb tables with it.
+        gidx = local.gmap[jnp.maximum(rec.prim_idx, 0)]
         return prim.Hit(
             t=red(rec.t), u=red(rec.u), v=red(rec.v), p=red(rec.p),
             normal=red(rec.normal),
@@ -330,7 +432,7 @@ def make_sharded_intersector(cs, mesh: Mesh):
             hit=any_hit,
         )
 
-    return pad_prims, intersect_local
+    return shard_args, intersect_local
 
 
 def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,

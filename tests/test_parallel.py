@@ -121,33 +121,40 @@ def test_primitive_sharded_intersector_matches_replicated():
     scene = cornell_box()
     cs, meta = compile_scene(scene)
     mesh = dist.make_mesh(8)
-    pad_prims, intersect_local = dist.make_sharded_intersector(cs, mesh)
-    prims_p = pad_prims(cs.prims)
 
     n = 256
     rs = np.random.RandomState(4)
     o = jnp.asarray(278 + rs.randn(n, 3) * 200, jnp.float32)
     d = jnp.asarray(rs.randn(n, 3), jnp.float32)
     tm = jnp.zeros(n, jnp.float32)
-
-    def body(prims_local, o, d, tm):
-        rec = intersect_local(prims_local, o, d, tm, 1e-3, prim.T_MAX)
-        return tuple(rec)
-
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(dist.TILE_AXIS), P(), P(), P()),
-                   out_specs=P())
-    got = prim.Hit(*fn(prims_p, o, d, tm))
     want = prim.intersect_brute(cs.prims, o, d, tm, 1e-3, prim.T_MAX)
-    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
-    h = np.asarray(want.hit)
-    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
-                               rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(got.mat_id)[h],
-                                  np.asarray(want.mat_id)[h])
-    np.testing.assert_allclose(np.asarray(got.normal)[h],
-                               np.asarray(want.normal)[h], rtol=1e-5,
-                               atol=1e-6)
+
+    # brute mode AND per-shard-BVH mode (use_bvh forced on — the cornell
+    # scene is below the auto threshold) must both equal the oracle.
+    for use_bvh in (False, True):
+        shard_args, intersect_local = dist.make_sharded_intersector(
+            cs, mesh, use_bvh=use_bvh)
+
+        def body(local, o, d, tm):
+            rec = intersect_local(local, o, d, tm, 1e-3, prim.T_MAX)
+            return tuple(rec)
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(dist.TILE_AXIS), P(), P(), P()),
+                       out_specs=P())
+        got = prim.Hit(*fn(shard_args, o, d, tm))
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(want.hit))
+        h = np.asarray(want.hit)
+        np.testing.assert_allclose(np.asarray(got.t)[h],
+                                   np.asarray(want.t)[h], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.mat_id)[h],
+                                      np.asarray(want.mat_id)[h])
+        np.testing.assert_array_equal(np.asarray(got.prim_idx)[h],
+                                      np.asarray(want.prim_idx)[h])
+        np.testing.assert_allclose(np.asarray(got.normal)[h],
+                                   np.asarray(want.normal)[h], rtol=1e-5,
+                                   atol=1e-6)
 
 
 def test_prim_sharded_render_matches_replicated():
@@ -164,3 +171,38 @@ def test_prim_sharded_render_matches_replicated():
                                 settings=settings, seed=0)
     assert a.rays_traced == b.rays_traced
     np.testing.assert_allclose(a.image, b.image, rtol=1e-4, atol=1e-5)
+
+
+def test_prim_sharded_render_pbr_matches_replicated():
+    """PBR scenes render prim-sharded now (VERDICT r3 #7): the winner's
+    GLOBAL prim id indexes the replicated kind/tb shading tables after the
+    psum, so normal-mapped PBR shading works with geometry 1/N per device."""
+    from izpi_tpu.integrator import path as path_mod
+    from izpi_tpu.scene.library.misc import pbr_ibl
+
+    scene = pbr_ibl()
+    settings = path_mod.RenderSettings(max_depth=3)
+    a = dist.render_distributed(scene, 8, 8, 2, mesh=dist.make_mesh(8),
+                                settings=settings, seed=0, shard_prims=True)
+    b = dist.render_distributed(scene, 8, 8, 2, mesh=dist.make_mesh(1),
+                                settings=settings, seed=0)
+    assert a.rays_traced == b.rays_traced
+    np.testing.assert_allclose(a.image, b.image, rtol=1e-4, atol=1e-5)
+
+
+def test_prim_sharded_bvh_render_matches_replicated():
+    """Per-shard BVH4 path at dragon-class prim counts (scaled down): the
+    sharded render with each device traversing a BVH over its local slice
+    must equal the replicated render."""
+    from izpi_tpu.integrator import path as path_mod
+    from izpi_tpu.scene.library.extracted import (
+        cornell_box_pbr_stanford_dragon_spectral)
+
+    scene = cornell_box_pbr_stanford_dragon_spectral(aspect=1.0, n_tris=4000)
+    settings = path_mod.RenderSettings(max_depth=3)
+    a = dist.render_distributed(scene, 6, 6, 1, mesh=dist.make_mesh(8),
+                                settings=settings, seed=0, shard_prims=True)
+    b = dist.render_distributed(scene, 6, 6, 1, mesh=dist.make_mesh(1),
+                                settings=settings, seed=0)
+    assert a.rays_traced == b.rays_traced
+    np.testing.assert_allclose(a.image, b.image, rtol=1e-3, atol=1e-4)
