@@ -48,7 +48,10 @@ def sample_normal(cs, meta, intersect, o, d, time):
     n = rec.normal
     if meta.has_pbr:
         mat = path_mod._gather_mat(cs, rec.mat_id)
-        rec_n, _pbr_n, _is_pbr = path_mod._pbr_normals(cs, meta, mat, rec, d)
+        nm_rgb = path_mod._eval_tex(cs, meta, mat["tex_normal"],
+                                    rec.u, rec.v, rec.p)
+        rec_n, _pbr_n, _is_pbr = path_mod._pbr_normals(cs, meta, mat, rec, d,
+                                                       nm_rgb)
         n = rec_n
     return jnp.where(rec.hit[:, None], n, 0.0)
 

@@ -126,11 +126,18 @@ def sample(lights: Lights, o, uniforms):
     u0 = uniforms[:, 0]
     idx = jnp.minimum((u0 * n_l).astype(jnp.int32), n_l - 1)
 
-    kind = lights.kind[idx]
-    l0 = lights.l0[idx]
-    l1 = lights.l1[idx]
-    l2 = lights.l2[idx]
-    radius = lights.radius[idx]
+    # One packed-row gather instead of five per-field gathers (gather
+    # latency serializes in the bounce chain, docs/PERF.md); the (L, 11)
+    # pack is loop-invariant and hoisted by XLA.
+    packed = jnp.concatenate([
+        lights.kind.astype(jnp.float32)[:, None], lights.l0, lights.l1,
+        lights.l2, lights.radius[:, None]], axis=1)
+    row = packed[idx]
+    kind = row[:, 0].astype(jnp.int32)
+    l0 = row[:, 1:4]
+    l1 = row[:, 4:7]
+    l2 = row[:, 7:10]
+    radius = row[:, 10]
 
     u1 = uniforms[:, 1]
     u2 = uniforms[:, 2]

@@ -69,36 +69,76 @@ def make_brute_intersector(cs: "CompiledScene") -> IntersectFn:
 
 
 def _gather_mat(cs, mat_id):
+    """One packed-row gather instead of nine per-field gathers: the pool
+    body's sequential gathers serialize at ~0.3-0.5 ms each on this backend
+    (docs/PERF.md), so the per-bounce gather COUNT is the cost. The (M, 11)
+    pack is loop-invariant (XLA hoists it out of the bounce loop); int/bool
+    fields ride as exact f32 (all values < 2^24). Gradients to fuzz and
+    absorption flow through the pack (differentiable path)."""
     safe = jnp.maximum(mat_id, 0)
     m = cs.materials
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    packed = jnp.stack([
+        f32(m.kind), f32(m.tex_albedo), m.fuzz, m.ref_idx,
+        m.absorption[:, 0], m.absorption[:, 1], m.absorption[:, 2],
+        f32(m.has_absorption), f32(m.tex_rough), f32(m.tex_metal),
+        f32(m.tex_normal),
+    ], axis=1)
+    row = packed[safe]
+    i32 = lambda c: row[:, c].astype(jnp.int32)  # noqa: E731
     return {
-        "kind": m.kind[safe],
-        "tex_albedo": m.tex_albedo[safe],
-        "fuzz": m.fuzz[safe],
-        "ref_idx": m.ref_idx[safe],
-        "absorption": m.absorption[safe],
-        "has_absorption": m.has_absorption[safe],
-        "tex_rough": m.tex_rough[safe],
-        "tex_metal": m.tex_metal[safe],
-        "tex_normal": m.tex_normal[safe],
+        "kind": i32(0),
+        "tex_albedo": i32(1),
+        "fuzz": row[:, 2],
+        "ref_idx": row[:, 3],
+        "absorption": row[:, 4:7],
+        "has_absorption": row[:, 7] > 0.5,
+        "tex_rough": i32(8),
+        "tex_metal": i32(9),
+        "tex_normal": i32(10),
     }
 
 
 def _gather_mat_spectral(cs, mat_id):
+    """Spectral variant of the packed material gather: one (M, 22) row."""
     safe = jnp.maximum(mat_id, 0)
     m = cs.materials
-    out = _gather_mat(cs, mat_id)
-    out.update({
-        "spec_albedo_id": m.spec_albedo_id[safe],
-        "spec_albedo_gauss": m.spec_albedo_gauss[safe],
-        "spec_ref_idx_id": m.spec_ref_idx_id[safe],
-        "spec_absorb_id": m.spec_absorb_id[safe],
-        "spec_checker": m.spec_checker[safe],
-        "spec_albedo_id2": m.spec_albedo_id2[safe],
-        "spec_albedo_gauss2": m.spec_albedo_gauss2[safe],
-        "spec_albedo_uplift": m.spec_albedo_uplift[safe],
-    })
-    return out
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    packed = jnp.stack([
+        f32(m.kind), f32(m.tex_albedo), m.fuzz, m.ref_idx,
+        m.absorption[:, 0], m.absorption[:, 1], m.absorption[:, 2],
+        f32(m.has_absorption), f32(m.tex_rough), f32(m.tex_metal),
+        f32(m.tex_normal),
+        f32(m.spec_albedo_id),
+        m.spec_albedo_gauss[:, 0], m.spec_albedo_gauss[:, 1],
+        m.spec_albedo_gauss[:, 2],
+        f32(m.spec_ref_idx_id), f32(m.spec_absorb_id), f32(m.spec_checker),
+        f32(m.spec_albedo_id2),
+        m.spec_albedo_gauss2[:, 0], m.spec_albedo_gauss2[:, 1],
+        m.spec_albedo_gauss2[:, 2],
+        f32(m.spec_albedo_uplift),
+    ], axis=1)
+    row = packed[safe]
+    i32 = lambda c: row[:, c].astype(jnp.int32)  # noqa: E731
+    return {
+        "kind": i32(0),
+        "tex_albedo": i32(1),
+        "fuzz": row[:, 2],
+        "ref_idx": row[:, 3],
+        "absorption": row[:, 4:7],
+        "has_absorption": row[:, 7] > 0.5,
+        "tex_rough": i32(8),
+        "tex_metal": i32(9),
+        "tex_normal": i32(10),
+        "spec_albedo_id": i32(11),
+        "spec_albedo_gauss": row[:, 12:15],
+        "spec_ref_idx_id": i32(15),
+        "spec_absorb_id": i32(16),
+        "spec_checker": row[:, 17] > 0.5,
+        "spec_albedo_id2": i32(18),
+        "spec_albedo_gauss2": row[:, 19:22],
+        "spec_albedo_uplift": row[:, 22] > 0.5,
+    }
 
 
 def _dielectric_scatter(o_dir, normal, ref_idx, u_reflect):
@@ -217,16 +257,32 @@ def _mean3(rgb):
     return (rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) / 3.0
 
 
-def _pbr_normals(cs, meta, mat, rec, d):
+def _eval_pbr_texs(cs, meta, mat, rec):
+    """ONE batched texture evaluation for the four per-bounce PBR lookups
+    (albedo + normal + roughness + metalness): a single 4N image gather
+    instead of four sequential N gathers (gather latency serializes in the
+    bounce chain, docs/PERF.md). Returns (albedo, normal, rough, metal)
+    each (N, 3)."""
+    n = rec.u.shape[0]
+    tids = jnp.concatenate([mat["tex_albedo"], mat["tex_normal"],
+                            mat["tex_rough"], mat["tex_metal"]])
+    u4 = jnp.tile(rec.u, 4)
+    v4 = jnp.tile(rec.v, 4)
+    p4 = jnp.tile(rec.p, (4, 1))
+    tex4 = _eval_tex(cs, meta, tids, u4, v4, p4).reshape(4, n, 3)
+    return tex4[0], tex4[1], tex4[2], tex4[3]
+
+
+def _pbr_normals(cs, meta, mat, rec, d, nm_rgb):
     """The two normals PBR uses (see module docstring quirk list):
     - rec_n: the record normal after the triangle-TBN normal-map step the
       reference applies inside triangle.Hit (triangles only),
     - pbr_n: rec_n pushed through the ad-hoc tangent frame AGAIN
       (pbr.go:65-91; note z is NOT remapped there).
+    nm_rgb: the pre-evaluated normal-map texture (_eval_pbr_texs).
     Returns (rec_n, pbr_n, is_pbr)."""
     is_pbr = mat["kind"] == mt.MAT_PBR
     has_nm = mat["tex_normal"] >= 0
-    nm_rgb = _eval_tex(cs, meta, mat["tex_normal"], rec.u, rec.v, rec.p)
 
     pidx = jnp.maximum(rec.prim_idx, 0)
     prim_kind = cs.prims.kind[pidx]
@@ -265,11 +321,10 @@ def _pbr_normals(cs, meta, mat, rec, d):
     return rec_n, pbr_n, is_pbr
 
 
-def _pbr_lobes(cs, meta, mat, rec, d, pbr_n, us):
-    """PBR stochastic lobe choice (pbr.go:94-145). Returns
+def _pbr_lobes(cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb):
+    """PBR stochastic lobe choice (pbr.go:94-145). rough_rgb/metal_rgb are
+    the pre-evaluated textures (_eval_pbr_texs). Returns
     (is_specular_choice, specular_dir, roughness, metalness)."""
-    rough_rgb = _eval_tex(cs, meta, mat["tex_rough"], rec.u, rec.v, rec.p)
-    metal_rgb = _eval_tex(cs, meta, mat["tex_metal"], rec.u, rec.v, rec.p)
     rough = jnp.where(mat["tex_rough"] >= 0, _mean3(rough_rgb), 0.5)
     metal = jnp.where(mat["tex_metal"] >= 0, _mean3(metal_rgb), 0.0)
 
@@ -311,7 +366,12 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
     mat = _gather_mat(cs, rec.mat_id)
     kind = mat["kind"]
 
-    emit_rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
+    if meta.has_pbr:
+        emit_rgb, nm_rgb, rough_rgb, metal_rgb = _eval_pbr_texs(
+            cs, meta, mat, rec)
+    else:
+        emit_rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v,
+                             rec.p)
     facing = vm.dot(rec.normal, d) < 0.0
     is_light = kind == mt.MAT_DIFFUSE_LIGHT
     emitted = jnp.where((is_light & facing)[:, None], emit_rgb, 0.0)
@@ -357,9 +417,9 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
 
     # ---- PBR (gated: compiled out of PBR-free scenes) ----
     if meta.has_pbr:
-        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d)
+        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d, nm_rgb)
         pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
-            cs, meta, mat, rec, d, pbr_n, us)
+            cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb)
         is_pbr_spec = is_pbr & pbr_spec_choice
     else:
         rec_n = rec.normal
@@ -445,7 +505,11 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     mat = _gather_mat_spectral(cs, rec.mat_id)
     kind = mat["kind"]
 
-    rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
+    if meta.has_pbr:
+        rgb, nm_rgb, rough_rgb, metal_rgb = _eval_pbr_texs(cs, meta, mat,
+                                                           rec)
+    else:
+        rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
     luma = spectral_eval.luminance(rgb)
     spec_a = spectral_eval.spectral_value(
         cs.spd_table, mat["spec_albedo_id"], mat["spec_albedo_gauss"],
@@ -513,9 +577,9 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
         diel_att = jnp.where(apply, absorbed, diel_att)
 
     if meta.has_pbr:
-        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d)
+        rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d, nm_rgb)
         pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
-            cs, meta, mat, rec, d, pbr_n, us)
+            cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb)
         is_pbr_spec = is_pbr & pbr_spec_choice
     else:
         rec_n = rec.normal

@@ -714,72 +714,69 @@ class BVHKernelIntersector:
         """Multi-round treelet-re-binned traversal — the incoherent-ray fast
         path. Union traversal saturates toward the whole tree when one
         1024-lane tile wants rays everywhere (docs/PERF.md); instead, rays
-        are BINNED: each round sorts pending rays by the id of their nearest
-        unvisited treelet (per-ray itinerary = treelets ordered by entry
-        distance) and every tile traverses ONLY its treelet's subtree
-        (starts = subtree root), so a tile never sees nodes outside the
-        subtree its rays actually want. A ray finishes when its next
-        treelet's conservative entry distance is >= its best hit t (exact:
-        entry lower-bounds every t in the subtree). Rays the rounds didn't
-        finish (tile-boundary minorities, >rounds crossings) get a full-tree
-        cleanup pass with their t caps — every other lane rides along with
-        an empty window, so cleanup cost is proportional to the stragglers.
+        are BINNED: every round RE-SORTS rays by the id of their nearest
+        still-useful treelet (per-ray itinerary = treelets ordered by entry
+        distance, pruned by the running best t) and every tile traverses
+        ONLY its rays' treelet roots. A ray finishes when its next treelet's
+        conservative entry distance is >= its best hit t (exact: entry
+        lower-bounds every t in the subtree).
 
-        Replaces the measured-slower two-pass t-cap priming (commit 935f009):
-        per-ray caps cannot shrink a tile UNION, but subtree-confined starts
-        shrink the visited set itself. The per-goroutine analog it answers is
-        the reference's exact per-ray stack walk (bvh4.go:49-163)."""
+        The PER-ROUND re-sort is the round-4 fix: with one up-front sort,
+        rays' SECOND treelets are scattered across the stale order, so
+        rounds 2+ pushed huge multi-root unions and measured at near
+        full-root cost (734 ms vs 31 ms for a confined pass at 262k rays,
+        scripts/experiments/dragon_phase_r4.py). Re-sorting keys done rays
+        to T (sorted last — their tiles push no roots and launch as no-ops),
+        so every round runs under round-1 conditions: pure tiles, one root
+        each, cost proportional to the drained pool. The final cleanup pass
+        re-sorts too and pushes each tile's union of ALL remaining treelets
+        (exact; overflow falls back to a full-root walk).
+
+        The per-goroutine analog it answers is the reference's exact
+        per-ray stack walk (bvh4.go:49-163)."""
         tile = TS * 128
         n_grid = -(-n // tile)
         T = self.treelets.shape[0]
         assert T < 2048, "sort key packs the treelet id into 11 bits"
-        # Sort ONCE per traverse by (nearest treelet, morton): the per-round
-        # 262k argsort + o/d/time re-gathers measured ~35-50 ms each; later
-        # rounds run on the stale order and rely on multi-root starts to
-        # serve whatever mix a tile ends up wanting (MULTI_K=64 makes
-        # overflow — the expensive full-tree majority walk — rare).
-        entry_u = treelet_entries(o, d, self.treelets)        # (n, T)
+        entry = treelet_entries(o, d, self.treelets)          # (n, T)
         morton = sort_keys(o, d, self.lo, self.hi)            # 24-bit key
-        tl0 = jnp.argmin(entry_u, axis=1).astype(jnp.int32)
-        key0 = jnp.where(jnp.any(jnp.isfinite(entry_u), axis=1), tl0, T)
-        order = jnp.argsort((key0 << 20) | (morton >> 4))
-        o_s, d_s, tm_s = o[order], d[order], time[order]
-        entry = entry_u[order]
         todo = jnp.isfinite(entry)
         best_t = jnp.full((n,), prim.T_MAX, jnp.float32)
         best_raw = jnp.full((n,), -1, jnp.int32)
 
         mids = jnp.minimum(
             jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
-        ray_tile = jnp.arange(n, dtype=jnp.int32) // tile
+        ray_tile_s = jnp.arange(n, dtype=jnp.int32) // tile   # sorted space
         jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
 
         def step(todo, best_t, best_raw, remaining_union: bool):
-            """One confined pass: pick each ray's nearest still-useful
-            treelet (masked argmin of entry — O(nT), no sorts), push per
-            tile the union of its rays' roots (≤ MULTI_K; overflow → the
-            tile-middle majority only), traverse, fold in hits, and clear
-            every treelet each tile's union actually covered.
-            remaining_union=True (the cleanup pass) pushes the union of ALL
-            still-useful treelets per tile, not just the nearest ones."""
+            """One re-sorted confined pass. All carries live in GLOBAL ray
+            order; sorting is internal to the pass."""
             masked = jnp.where(todo & (entry < best_t[:, None]), entry,
                                jnp.inf)
             cur_entry = jnp.min(masked, axis=1)
             pending = jnp.isfinite(cur_entry)
             key = jnp.where(pending, jnp.argmin(masked, axis=1)
                             .astype(jnp.int32), T)
+            # Done rays carry key T → they sort to the tail and their tiles
+            # launch with empty start sets. Morton below the treelet id
+            # keeps intra-tile coherence for the leaf tests.
+            order = jnp.argsort((key << 20) | (morton >> 4))
+            o_s, d_s, tm_s = o[order], d[order], time[order]
+            key_s = key[order]
+
             if remaining_union:
-                want = jnp.isfinite(masked)                   # (n, T)
-                tile_any = want.reshape(n_grid, tile, T).any(axis=1)
+                want_s = jnp.isfinite(masked)[order]          # (n, T)
+                tile_any = want_s.reshape(n_grid, tile, T).any(axis=1)
             else:
                 tile_any = (jnp.zeros((n_grid, T + 1), bool)
-                            .at[ray_tile, key].set(True))[:, :T]
+                            .at[ray_tile_s, key_s].set(True))[:, :T]
             k_roots = min(MULTI_K, T)
             topk = jnp.sort(jnp.where(tile_any, jcol, T),
                             axis=1)[:, :k_roots]
             starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
             over = tile_any.sum(axis=1) > k_roots
-            tile_tl = key[mids]
+            tile_tl = key_s[mids]
             if remaining_union:
                 # Overflow in the CLEANUP pass must stay exact: there is no
                 # later pass to catch dropped treelets, so fall back to a
@@ -789,8 +786,9 @@ class BVHKernelIntersector:
                      jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
                 served_over = jnp.ones((n_grid, T), bool)
             else:
-                # Mid-round overflow: traverse only the tile-middle
-                # majority treelet (stragglers go to the cleanup pass). A
+                # Mid-round overflow (rare after a fresh sort: only treelet
+                # boundary tiles push >1 root): traverse only the
+                # tile-middle majority treelet; stragglers stay pending. A
                 # tile whose middle ray is not pending (tile_tl == T) gets
                 # a no-op start — treelet_nodes[T] is the root, and a full
                 # root walk that serves NOTHING is pure waste.
@@ -803,24 +801,28 @@ class BVHKernelIntersector:
             starts = jnp.where(over[:, None], fallback, starts)
             served = jnp.where(over[:, None], served_over,
                                tile_any)                      # (n_grid, T)
-            tcap = jnp.where(pending, best_t, t_min)
+            tcap_s = jnp.where(pending, best_t, t_min)[order]
             t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,
-                          starts=starts, tcap=tcap, raw_idx=True)
-            improved = (i_r >= 0) & (t_r < best_t)
-            best_t = jnp.where(improved, t_r, best_t)
-            best_raw = jnp.where(improved, i_r, best_raw)
-            todo = todo & ~(served[ray_tile] & pending[:, None])
+                          starts=starts, tcap=tcap_s, raw_idx=True)
+            # scatter-unsort results and the served sets back to global
+            t_g = jnp.zeros_like(best_t).at[order].set(t_r)
+            i_g = jnp.full_like(best_raw, -1).at[order].set(i_r)
+            improved = (i_g >= 0) & (t_g < best_t)
+            best_t = jnp.where(improved, t_g, best_t)
+            best_raw = jnp.where(improved, i_g, best_raw)
+            # ray's tile in THIS round's order, recovered without a second
+            # sort: inv[order[i]] = i.
+            inv = jnp.zeros(n, jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            served_ray = served[inv // tile] & pending[:, None]
+            todo = todo & ~served_ray
             return todo, best_t, best_raw
 
         for _ in range(self.rounds):
             todo, best_t, best_raw = step(todo, best_t, best_raw, False)
-        # Exact cleanup: whatever the rounds left. With MULTI_K=64 and the
-        # union-of-remaining start set, an already-drained pool makes this
-        # a no-op launch (all starts -1).
+        # Exact cleanup: whatever the rounds left (multi-treelet stragglers).
         todo, best_t, best_raw = step(todo, best_t, best_raw, True)
 
-        best_t = jnp.zeros_like(best_t).at[order].set(best_t)
-        best_raw = jnp.full_like(best_raw, -1).at[order].set(best_raw)
         idx = jnp.where(best_raw >= 0,
                         self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
         return best_t, idx

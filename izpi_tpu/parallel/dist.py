@@ -437,12 +437,23 @@ def make_sharded_intersector(cs, mesh: Mesh, use_bvh: Optional[bool] = None,
 
 def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,
                        device_counts=None, seed: int = 0,
-                       settings: Optional[path_mod.RenderSettings] = None):
+                       settings: Optional[path_mod.RenderSettings] = None,
+                       mode: str = "strong"):
     """Rays/s at 1..N devices with the production (pool) renderer — the
     BASELINE scaling harness (target ≥0.9 efficiency 1→N). Returns
-    {n_devices: {"mrays": .., "efficiency": ..}}. On a CPU-emulated mesh
-    the absolute numbers are meaningless but the collective structure and
-    work division are the real ones."""
+    {n_devices: {"mrays": .., "efficiency": ..}}.
+
+    mode="strong": a FIXED frame (nx·ny·spp) is divided across devices —
+    per-device work shrinks with N, so fixed per-render costs erode
+    efficiency (the production single-frame latency question).
+    mode="weak": spp GROWS with the device count (spp per device fixed) —
+    the sample-throughput question (renders are sample-parallel, so weak
+    scaling is the honest capacity number for N chips; the reference's
+    remote workers likewise each carry a full tile stream,
+    render/remote.go:31-44).
+
+    On a CPU-emulated mesh the absolute numbers are meaningless but the
+    collective structure and work division are the real ones."""
     if device_counts is None:
         n = len(jax.devices())
         device_counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n]
@@ -451,7 +462,8 @@ def scaling_efficiency(scene: st.Scene, nx: int, ny: int, spp: int,
     context = renderer_mod.RenderContext(scene)
     for c in device_counts:
         mesh = make_mesh(c)
-        res = render_distributed(scene, nx, ny, spp, mesh=mesh, seed=seed,
+        spp_c = spp * c if mode == "weak" else spp
+        res = render_distributed(scene, nx, ny, spp_c, mesh=mesh, seed=seed,
                                  settings=settings, context=context,
                                  warmup=True)
         m = res.mrays_per_sec

@@ -40,10 +40,15 @@ def main():
     settings = path_mod.RenderSettings(max_depth=8)
     counts = [c for c in (1, 2, 4, 8) if c <= len(jax.devices())]
     res = {}
+    res_weak = {}
     if len(counts) > 1:
-        res = dist.scaling_efficiency(cornell_box(), 64, 64, 8,
+        res = dist.scaling_efficiency(cornell_box(), 64, 64, 64,
                                       device_counts=counts,
-                                      settings=settings)
+                                      settings=settings, mode="strong")
+        # weak scaling: fixed per-device spp — the capacity number
+        res_weak = dist.scaling_efficiency(cornell_box(), 64, 64, 32,
+                                           device_counts=counts,
+                                           settings=settings, mode="weak")
 
     # Projected N-chip efficiency from one chip: under sample sharding each
     # device renders the whole frame at spp/N with one final psum (bytes =
@@ -72,26 +77,38 @@ def main():
 
     t_full = timed(base_spp)
     projected = {}
+    projected_weak = {}
     shards = {}
     for n in (2, 4, 8):
+        # strong: each device renders spp/n of the SAME frame
         t_shard = timed(-(-base_spp // n))
         projected[str(n)] = round(t_full / (n * t_shard), 4)
         shards[str(n)] = round(t_shard, 3)
+    for n in (2, 8):
+        # weak: each device keeps the FULL base workload; N-chip wall ≈
+        # T(base) + collectives, so the per-chip term of weak efficiency is
+        # n·T(base)/T(n·base) — flat per-sample cost ⇒ 1.0.
+        t_big = timed(base_spp * n)
+        projected_weak[str(n)] = round(n * t_full / t_big, 4)
 
     record = {
         "backend": jax.default_backend(),
         "emulated_mesh": emulated,
-        "note": ("CPU-emulated mesh wall-clock is threads sharing cores — "
-                 "collective structure and work division are real, "
-                 "absolute Mrays/s are not; projected_efficiency is the "
-                 "single-device sample-shard projection"
-                 if emulated else "real devices"),
-        "results": {str(k): v for k, v in res.items()},
+        "host_cores": os.cpu_count(),
+        "note": ("CPU-emulated mesh wall-clock is threads sharing cores "
+                 "(this image has 2) — collective structure and work "
+                 "division are real, absolute Mrays/s are not, and "
+                 "weak-scaling wall-clock CANNOT reach 0.9 on 8 virtual "
+                 "devices / 2 cores; projected_* are the single-real-chip "
+                 "projections" if emulated else "real devices"),
+        "results_strong": {str(k): v for k, v in res.items()},
+        "results_weak": {str(k): v for k, v in res_weak.items()},
         "projection_base": f"{base_nx}x{base_nx}@{base_spp}spp cornell "
                            f"(reference default workload)",
         "projection_full_seconds": round(t_full, 3),
         "projection_shard_seconds": shards,
-        "projected_efficiency_1_to_N": projected,
+        "projected_efficiency_strong_1_to_N": projected,
+        "projected_efficiency_weak_1_to_N": projected_weak,
     }
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
