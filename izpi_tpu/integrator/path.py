@@ -262,12 +262,29 @@ def _eval_pbr_texs(cs, meta, mat, rec):
     (albedo + normal + roughness + metalness): a single 4N image gather
     instead of four sequential N gathers (gather latency serializes in the
     bounce chain, docs/PERF.md). Returns (albedo, normal, rough, metal)
-    each (N, 3)."""
+    each (N, 3).
+
+    Lanes that don't need a map lookup (non-PBR hits — e.g. the IBL dome,
+    where ~75% of pbr_ibl's rays terminate — or absent map slots) collapse
+    to texture id 0 at uv (0,0): the gather still runs at full width, but
+    every dead lane reads the SAME address, so the cache-miss cost scales
+    with the live fraction instead of the pool width. The produced values
+    are unused for those lanes (masked by tex_*>=0 / is_pbr selects
+    downstream)."""
     n = rec.u.shape[0]
-    tids = jnp.concatenate([mat["tex_albedo"], mat["tex_normal"],
-                            mat["tex_rough"], mat["tex_metal"]])
-    u4 = jnp.tile(rec.u, 4)
-    v4 = jnp.tile(rec.v, 4)
+    is_pbr = mat["kind"] == mt.MAT_PBR
+
+    def masked(tid, need):
+        return (jnp.where(need, tid, 0), jnp.where(need, rec.u, 0.0),
+                jnp.where(need, rec.v, 0.0))
+
+    t_a, u_a, v_a = mat["tex_albedo"], rec.u, rec.v   # always needed
+    t_n, u_n, v_n = masked(mat["tex_normal"], is_pbr & (mat["tex_normal"] >= 0))
+    t_r, u_r, v_r = masked(mat["tex_rough"], is_pbr & (mat["tex_rough"] >= 0))
+    t_m, u_m, v_m = masked(mat["tex_metal"], is_pbr & (mat["tex_metal"] >= 0))
+    tids = jnp.concatenate([t_a, t_n, t_r, t_m])
+    u4 = jnp.concatenate([u_a, u_n, u_r, u_m])
+    v4 = jnp.concatenate([v_a, v_n, v_r, v_m])
     p4 = jnp.tile(rec.p, (4, 1))
     tex4 = _eval_tex(cs, meta, tids, u4, v4, p4).reshape(4, n, 3)
     return tex4[0], tex4[1], tex4[2], tex4[3]

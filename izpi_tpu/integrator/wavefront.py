@@ -56,7 +56,19 @@ MAX_STATIC_ITERS = 256
 
 def _run_scheduler(cond, body, state0, total, n, max_depth):
     """Pick the loop structure (see core.loops for the backend pathology
-    measurements that motivate each branch)."""
+    measurements that motivate each branch).
+
+    IZPI_POOL_LOOP=while forces a plain lax.while_loop: round-4
+    measurements (scripts/experiments/pbr_body_bisect.py) showed the
+    chunked guard structure costing ~40% on pbr_ibl (2.21 s vs 1.56 s for
+    identical work), i.e. the historical ~60 ms/predicate sync no longer
+    reproduces at pool shapes — but the guarded forms are kept selectable
+    until every engine is re-measured."""
+    import os
+
+    loop = os.environ.get("IZPI_POOL_LOOP", "while")
+    if loop == "while":
+        return jax.lax.while_loop(cond, body, state0)
     bound = -(-total * max_depth // n) + max_depth
     if bound <= MAX_STATIC_ITERS:
         return guarded_fori(bound, cond, body, state0)
@@ -67,16 +79,35 @@ def _run_scheduler(cond, body, state0, total, n, max_depth):
 
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
                base_key, pool_size: int, spectral: bool = False,
-               bg_spd_id: int = 0, sample_offset: int = 0):
+               bg_spd_id: int = 0, sample_offset: int = 0,
+               scheduler: str = "auto"):
     """Render nx×ny@spp with a persistent path pool.
 
     Returns (acc (nx*ny, 3) summed radiance — RGB, or CIE XYZ in spectral
     mode; divide by spp for the image — and the total ray count).
     sample_offset lets callers render in resumable chunks (checkpointing):
     the chunk covers per-pixel samples [offset, offset + spp).
-    """
+
+    scheduler: "pinned" (per-slot accumulators, zero scatters — best when
+    per-pixel path depth is uniform), "queue" (global sample counter +
+    scatter-add deposits — immune to the pinned pool's convoy on deep
+    pixels: a slot pinned to a deep pixel runs long after sky-pixel slots
+    drain; pbr_ibl measured 48% occupancy pinned vs ~100% queued, 10.1 vs
+    14.9 Mrays/s), or "auto": queue for scenes with strongly nonuniform
+    depth (PBR under an enclosing emissive dome), pinned otherwise.
+    Frames larger than the pool always queue."""
     n_pix = nx * ny
-    if n_pix <= pool_size:
+    if scheduler == "auto":
+        import os
+
+        scheduler = os.environ.get("IZPI_POOL_SCHED", "")
+        if not scheduler:
+            # depth-variance heuristic: an IBL-dome scene terminates most
+            # paths at depth 1 while box pixels run deep — the pinned
+            # convoy's worst case.
+            scheduler = "queue" if (meta.has_pbr and meta.has_image) \
+                else "pinned"
+    if n_pix <= pool_size and scheduler == "pinned":
         return _trace_pool_pinned(
             cs, meta, settings, intersect, nx, ny, spp, base_key, pool_size,
             spectral=spectral, bg_spd_id=bg_spd_id,
