@@ -82,7 +82,7 @@ def _gather_mat(cs, mat_id):
         f32(m.kind), f32(m.tex_albedo), m.fuzz, m.ref_idx,
         m.absorption[:, 0], m.absorption[:, 1], m.absorption[:, 2],
         f32(m.has_absorption), f32(m.tex_rough), f32(m.tex_metal),
-        f32(m.tex_normal),
+        f32(m.tex_normal), f32(m.combo_id),
     ], axis=1)
     row = packed[safe]
     i32 = lambda c: row[:, c].astype(jnp.int32)  # noqa: E731
@@ -96,6 +96,7 @@ def _gather_mat(cs, mat_id):
         "tex_rough": i32(8),
         "tex_metal": i32(9),
         "tex_normal": i32(10),
+        "combo_id": i32(11),
     }
 
 
@@ -109,6 +110,7 @@ def _gather_mat_spectral(cs, mat_id):
         m.absorption[:, 0], m.absorption[:, 1], m.absorption[:, 2],
         f32(m.has_absorption), f32(m.tex_rough), f32(m.tex_metal),
         f32(m.tex_normal),
+        f32(m.combo_id),
         f32(m.spec_albedo_id),
         m.spec_albedo_gauss[:, 0], m.spec_albedo_gauss[:, 1],
         m.spec_albedo_gauss[:, 2],
@@ -130,14 +132,15 @@ def _gather_mat_spectral(cs, mat_id):
         "tex_rough": i32(8),
         "tex_metal": i32(9),
         "tex_normal": i32(10),
-        "spec_albedo_id": i32(11),
-        "spec_albedo_gauss": row[:, 12:15],
-        "spec_ref_idx_id": i32(15),
-        "spec_absorb_id": i32(16),
-        "spec_checker": row[:, 17] > 0.5,
-        "spec_albedo_id2": i32(18),
-        "spec_albedo_gauss2": row[:, 19:22],
-        "spec_albedo_uplift": row[:, 22] > 0.5,
+        "combo_id": i32(11),
+        "spec_albedo_id": i32(12),
+        "spec_albedo_gauss": row[:, 13:16],
+        "spec_ref_idx_id": i32(16),
+        "spec_absorb_id": i32(17),
+        "spec_checker": row[:, 18] > 0.5,
+        "spec_albedo_id2": i32(19),
+        "spec_albedo_gauss2": row[:, 20:23],
+        "spec_albedo_uplift": row[:, 23] > 0.5,
     }
 
 
@@ -257,37 +260,66 @@ def _mean3(rgb):
     return (rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) / 3.0
 
 
-def _eval_pbr_texs(cs, meta, mat, rec):
-    """ONE batched texture evaluation for the four per-bounce PBR lookups
-    (albedo + normal + roughness + metalness): a single 4N image gather
-    instead of four sequential N gathers (gather latency serializes in the
-    bounce chain, docs/PERF.md). Returns (albedo, normal, rough, metal)
-    each (N, 3).
+def _eval_pbr_texs(cs, meta, mat, rec, differentiable: bool = False):
+    """The four per-bounce material texture lookups (albedo + normal +
+    roughness + metalness) via ONE big-table gather: big-table gathers are
+    index-count bound at ~13 ns/lookup on this backend regardless of
+    payload width (docs/PERF.md round 4 — the 4N form was 10.4 of pbr_ibl's
+    12.8 ms bounce), so the compiler bakes each material's image maps into
+    an 8-channel combined row (scene/compiler.py) and the bounce gathers it
+    once. Non-image slots (constant/checker/noise) come from the generic
+    evaluator with the image branch compiled out. Returns
+    (albedo (N,3), normal_rgb (N,3), rough (N,), metal (N,)) — rough/metal
+    already mean3'd (pbr.go:109-116 samples then averages; the bake stores
+    the per-texel mean, which is the same value).
 
-    Lanes that don't need a map lookup (non-PBR hits — e.g. the IBL dome,
-    where ~75% of pbr_ibl's rays terminate — or absent map slots) collapse
-    to texture id 0 at uv (0,0): the gather still runs at full width, but
-    every dead lane reads the SAME address, so the cache-miss cost scales
-    with the live fraction instead of the pool width. The produced values
-    are unused for those lanes (masked by tex_*>=0 / is_pbr selects
-    downstream)."""
+    differentiable=True keeps the generic 4N image path: texture images
+    are trainable parameters and the baked stack carries no gradients."""
     n = rec.u.shape[0]
-    is_pbr = mat["kind"] == mt.MAT_PBR
+    tex = cs.textures
+    use_combined = (not differentiable) and tex.combined.shape[0] > 0
 
-    def masked(tid, need):
-        return (jnp.where(need, tid, 0), jnp.where(need, rec.u, 0.0),
-                jnp.where(need, rec.v, 0.0))
+    if not use_combined:
+        tids = jnp.concatenate([mat["tex_albedo"], mat["tex_normal"],
+                                mat["tex_rough"], mat["tex_metal"]])
+        u4 = jnp.tile(rec.u, 4)
+        v4 = jnp.tile(rec.v, 4)
+        p4 = jnp.tile(rec.p, (4, 1))
+        tex4 = _eval_tex(cs, meta, tids, u4, v4, p4).reshape(4, n, 3)
+        return tex4[0], tex4[1], _mean3(tex4[2]), _mean3(tex4[3])
 
-    t_a, u_a, v_a = mat["tex_albedo"], rec.u, rec.v   # always needed
-    t_n, u_n, v_n = masked(mat["tex_normal"], is_pbr & (mat["tex_normal"] >= 0))
-    t_r, u_r, v_r = masked(mat["tex_rough"], is_pbr & (mat["tex_rough"] >= 0))
-    t_m, u_m, v_m = masked(mat["tex_metal"], is_pbr & (mat["tex_metal"] >= 0))
-    tids = jnp.concatenate([t_a, t_n, t_r, t_m])
-    u4 = jnp.concatenate([u_a, u_n, u_r, u_m])
-    v4 = jnp.concatenate([v_a, v_n, v_r, v_m])
-    p4 = jnp.tile(rec.p, (4, 1))
-    tex4 = _eval_tex(cs, meta, tids, u4, v4, p4).reshape(4, n, 3)
-    return tex4[0], tex4[1], tex4[2], tex4[3]
+    combo = mat["combo_id"]
+    valid = combo >= 0
+    safe = jnp.maximum(combo, 0)
+    w = tex.combo_w[safe]
+    h = tex.combo_h[safe]
+    i = jnp.clip((rec.u * w.astype(jnp.float32)).astype(jnp.int32),
+                 0, jnp.maximum(w - 1, 0))
+    j = jnp.clip(((1.0 - rec.v) * (h.astype(jnp.float32) - 0.001))
+                 .astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    row = tex.combined[safe, j, i]                      # (N, 8) ONE gather
+
+    # generic values for non-image slots — no image gathers compiled in
+    def gen(tid):
+        return tex_tables.eval_rgb(
+            cs.textures, jnp.maximum(tid, 0), rec.u, rec.v, rec.p,
+            has_checker=meta.has_checker, has_image=False,
+            has_noise=meta.has_noise)
+
+    tkind = tex.kind
+    def is_img(tid):
+        return valid & (tid >= 0) & (tkind[jnp.maximum(tid, 0)]
+                                     == tex_tables.TEX_IMAGE)
+
+    albedo = jnp.where(is_img(mat["tex_albedo"])[:, None], row[:, 0:3],
+                       gen(mat["tex_albedo"]))
+    nm_rgb = jnp.where(is_img(mat["tex_normal"])[:, None], row[:, 3:6],
+                       gen(mat["tex_normal"]))
+    rough = jnp.where(is_img(mat["tex_rough"]), row[:, 6],
+                      _mean3(gen(mat["tex_rough"])))
+    metal = jnp.where(is_img(mat["tex_metal"]), row[:, 7],
+                      _mean3(gen(mat["tex_metal"])))
+    return albedo, nm_rgb, rough, metal
 
 
 def _pbr_normals(cs, meta, mat, rec, d, nm_rgb):
@@ -338,12 +370,12 @@ def _pbr_normals(cs, meta, mat, rec, d, nm_rgb):
     return rec_n, pbr_n, is_pbr
 
 
-def _pbr_lobes(cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb):
-    """PBR stochastic lobe choice (pbr.go:94-145). rough_rgb/metal_rgb are
-    the pre-evaluated textures (_eval_pbr_texs). Returns
+def _pbr_lobes(cs, meta, mat, rec, d, pbr_n, us, rough_val, metal_val):
+    """PBR stochastic lobe choice (pbr.go:94-145). rough_val/metal_val are
+    the pre-evaluated mean3'd textures (_eval_pbr_texs). Returns
     (is_specular_choice, specular_dir, roughness, metalness)."""
-    rough = jnp.where(mat["tex_rough"] >= 0, _mean3(rough_rgb), 0.5)
-    metal = jnp.where(mat["tex_metal"] >= 0, _mean3(metal_rgb), 0.0)
+    rough = jnp.where(mat["tex_rough"] >= 0, rough_val, 0.5)
+    metal = jnp.where(mat["tex_metal"] >= 0, metal_val, 0.0)
 
     d_unit = vm.normalize(d)
     cos_theta = jnp.abs(vm.dot(d_unit, pbr_n))
@@ -384,8 +416,8 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
     kind = mat["kind"]
 
     if meta.has_pbr:
-        emit_rgb, nm_rgb, rough_rgb, metal_rgb = _eval_pbr_texs(
-            cs, meta, mat, rec)
+        emit_rgb, nm_rgb, rough_val, metal_val = _eval_pbr_texs(
+            cs, meta, mat, rec, differentiable=differentiable)
     else:
         emit_rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v,
                              rec.p)
@@ -436,7 +468,7 @@ def bounce_rgb(cs, meta, settings, intersect, o, d, time, keys, depth, thru,
     if meta.has_pbr:
         rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d, nm_rgb)
         pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
-            cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb)
+            cs, meta, mat, rec, d, pbr_n, us, rough_val, metal_val)
         is_pbr_spec = is_pbr & pbr_spec_choice
     else:
         rec_n = rec.normal
@@ -523,7 +555,7 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     kind = mat["kind"]
 
     if meta.has_pbr:
-        rgb, nm_rgb, rough_rgb, metal_rgb = _eval_pbr_texs(cs, meta, mat,
+        rgb, nm_rgb, rough_val, metal_val = _eval_pbr_texs(cs, meta, mat,
                                                            rec)
     else:
         rgb = _eval_tex(cs, meta, mat["tex_albedo"], rec.u, rec.v, rec.p)
@@ -596,7 +628,7 @@ def bounce_spectral(cs, meta, settings, intersect, o, d, time, lam, keys,
     if meta.has_pbr:
         rec_n, pbr_n, is_pbr = _pbr_normals(cs, meta, mat, rec, d, nm_rgb)
         pbr_spec_choice, d_pbr_spec, _, _ = _pbr_lobes(
-            cs, meta, mat, rec, d, pbr_n, us, rough_rgb, metal_rgb)
+            cs, meta, mat, rec, d, pbr_n, us, rough_val, metal_val)
         is_pbr_spec = is_pbr & pbr_spec_choice
     else:
         rec_n = rec.normal

@@ -47,6 +47,9 @@ class Materials(NamedTuple):
     spec_albedo_gauss2: jax.Array  # (M, 3)
     # RGB→spectral uplift of the albedo texture (texture/spectral_image.go).
     spec_albedo_uplift: jax.Array  # (M,) bool
+    # Combined-map stack row for this material (-1 = none); see
+    # texture.tables.Textures.combined.
+    combo_id: jax.Array  # (M,) int32
 
     @property
     def count(self) -> int:

@@ -675,12 +675,77 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         stack = np.zeros((1, 1, 1, 3), np.float32)
         ws, hs = [1], [1]
 
+    # Combined per-material map stack (albedo+normal+rough+metal in one
+    # 8-channel row): the hot bounce then does ONE big-table gather per ray
+    # instead of four — big-table gathers are index-count bound at
+    # ~13 ns/lookup on this backend (docs/PERF.md round 4). Each map is
+    # baked at the material's max map resolution with the reference's own
+    # nearest-neighbor index math (texture/image.go:73-101) evaluated at
+    # the output texel's uv — EXACT for same-resolution maps (the common
+    # case), nearest-resampled for mixed resolutions.
+    tex_kind_h = np.asarray(b.tex_kind)
+    tex_img_h = np.asarray(b.tex_img_id)
+
+    def _img_of(tid):
+        if tid is None or tid < 0 or tid >= len(tex_kind_h):
+            return None
+        if tex_kind_h[tid] != tex_tables.TEX_IMAGE:
+            return None
+        return b.images[tex_img_h[tid]]
+
+    combo_ids = []
+    combos = []
+    for r in b.mat_rows:
+        imgs = [_img_of(r["tex_albedo"]), _img_of(r["tex_normal"]),
+                _img_of(r["tex_rough"]), _img_of(r["tex_metal"])]
+        if all(im is None for im in imgs):
+            combo_ids.append(-1)
+            continue
+        ch = max(im.shape[0] for im in imgs if im is not None)
+        cw = max(im.shape[1] for im in imgs if im is not None)
+        jj, ii = np.meshgrid(np.arange(ch), np.arange(cw), indexing="ij")
+        u_c = (ii + 0.5) / cw
+        omv_c = (jj + 0.5) / ch          # 1 - v at the texel center
+
+        def samp(im):
+            hm, wm = im.shape[:2]
+            i2 = np.clip((u_c * wm).astype(np.int64), 0, wm - 1)
+            j2 = np.clip((omv_c * (hm - 0.001)).astype(np.int64), 0, hm - 1)
+            return np.asarray(im, np.float32)[j2, i2]
+
+        out = np.zeros((ch, cw, 8), np.float32)
+        if imgs[0] is not None:
+            out[..., 0:3] = samp(imgs[0])
+        if imgs[1] is not None:
+            out[..., 3:6] = samp(imgs[1])
+        if imgs[2] is not None:
+            s3 = samp(imgs[2])
+            out[..., 6] = (s3[..., 0] + s3[..., 1] + s3[..., 2]) / 3.0
+        if imgs[3] is not None:
+            s3 = samp(imgs[3])
+            out[..., 7] = (s3[..., 0] + s3[..., 1] + s3[..., 2]) / 3.0
+        combo_ids.append(len(combos))
+        combos.append(out)
+    if combos:
+        c_h = max(c.shape[0] for c in combos)
+        c_w = max(c.shape[1] for c in combos)
+        cstack = np.zeros((len(combos), c_h, c_w, 8), np.float32)
+        c_ws, c_hs = [], []
+        for i, c in enumerate(combos):
+            cstack[i, : c.shape[0], : c.shape[1]] = c
+            c_hs.append(c.shape[0])
+            c_ws.append(c.shape[1])
+    else:
+        cstack = np.zeros((0, 1, 1, 8), np.float32)
+        c_ws, c_hs = [], []
+
     textures = tex_tables.Textures(
         kind=i32(b.tex_kind),
         c0=f32(np.stack(b.tex_c0)), c1=f32(np.stack(b.tex_c1)),
         scale=f32(b.tex_scale), img_id=i32(b.tex_img_id),
         images=jnp.asarray(stack), img_w=i32(ws), img_h=i32(hs),
         perlin=perlin_mod.build_tables(seed=0),
+        combined=jnp.asarray(cstack), combo_w=i32(c_ws), combo_h=i32(c_hs),
     )
 
     if scene.spectral:
@@ -708,6 +773,7 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         spec_albedo_id2=i32(col("spec_albedo_id2")),
         spec_albedo_gauss2=f32(np.stack(col("spec_albedo_gauss2"))),
         spec_albedo_uplift=jnp.asarray(col("spec_albedo_uplift")),
+        combo_id=i32(combo_ids),
     )
 
     lights = lights_mod.Lights(

@@ -33,6 +33,14 @@ class Textures(NamedTuple):
     img_w: jax.Array   # (I,) int32
     img_h: jax.Array   # (I,) int32
     perlin: perlin_mod.PerlinTables
+    # Per-material COMBINED map stack (albedo.rgb, normal.xyz, mean rough,
+    # mean metal): big-table gathers cost ~13 ns/index on this backend
+    # regardless of payload width (docs/PERF.md round 4), so the hot bounce
+    # does ONE (N, 8) row gather instead of four. Built by the compiler;
+    # (0, 1, 1, 8) when the scene has no image textures on materials.
+    combined: jax.Array  # (Ic, maxH, maxW, 8) f32
+    combo_w: jax.Array   # (Ic,) int32
+    combo_h: jax.Array   # (Ic,) int32
 
 
 def image_lookup(images, img_w, img_h, img_id, u, v):

@@ -49,6 +49,7 @@ def main():
         res_weak = dist.scaling_efficiency(cornell_box(), 64, 64, 32,
                                            device_counts=counts,
                                            settings=settings, mode="weak")
+    run_projection = jax.default_backend() != "cpu" or len(counts) == 1
 
     # Projected N-chip efficiency from one chip: under sample sharding each
     # device renders the whole frame at spp/N with one final psum (bytes =
@@ -75,22 +76,33 @@ def main():
         renderer.render(None, base_nx, base_nx, spp, **kw)
         return time_mod.perf_counter() - t0
 
-    t_full = timed(base_spp)
+    t_full = None
     projected = {}
     projected_weak = {}
     shards = {}
-    for n in (2, 4, 8):
-        # strong: each device renders spp/n of the SAME frame
-        t_shard = timed(-(-base_spp // n))
-        projected[str(n)] = round(t_full / (n * t_shard), 4)
-        shards[str(n)] = round(t_shard, 3)
-    for n in (2, 8):
-        # weak: each device keeps the FULL base workload; N-chip wall ≈
-        # T(base) + collectives, so the per-chip term of weak efficiency is
-        # n·T(base)/T(n·base) — flat per-sample cost ⇒ 1.0.
-        t_big = timed(base_spp * n)
-        projected_weak[str(n)] = round(n * t_full / t_big, 4)
+    if run_projection:
+        t_full = timed(base_spp)
+        for n in (2, 4, 8):
+            # strong: each device renders spp/n of the SAME frame
+            t_shard = timed(-(-base_spp // n))
+            projected[str(n)] = round(t_full / (n * t_shard), 4)
+            shards[str(n)] = round(t_shard, 3)
+        for n in (2, 8):
+            # weak: each device keeps the FULL base workload; N-chip wall
+            # ≈ T(base) + collectives, so the per-chip term of weak
+            # efficiency is n·T(base)/T(n·base) — flat per-sample cost ⇒ 1.
+            t_big = timed(base_spp * n)
+            projected_weak[str(n)] = round(n * t_full / t_big, 4)
 
+    # Merge with an existing artifact so the CPU-mesh run and the
+    # real-chip projection run can each fill their half.
+    prior = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
     record = {
         "backend": jax.default_backend(),
         "emulated_mesh": emulated,
@@ -101,15 +113,24 @@ def main():
                  "weak-scaling wall-clock CANNOT reach 0.9 on 8 virtual "
                  "devices / 2 cores; projected_* are the single-real-chip "
                  "projections" if emulated else "real devices"),
-        "results_strong": {str(k): v for k, v in res.items()},
-        "results_weak": {str(k): v for k, v in res_weak.items()},
+        "results_strong": ({str(k): v for k, v in res.items()}
+                           or prior.get("results_strong", {})),
+        "results_weak": ({str(k): v for k, v in res_weak.items()}
+                         or prior.get("results_weak", {})),
         "projection_base": f"{base_nx}x{base_nx}@{base_spp}spp cornell "
                            f"(reference default workload)",
-        "projection_full_seconds": round(t_full, 3),
-        "projection_shard_seconds": shards,
-        "projected_efficiency_strong_1_to_N": projected,
-        "projected_efficiency_weak_1_to_N": projected_weak,
+        "projection_full_seconds": (round(t_full, 3) if t_full is not None
+                                    else prior.get(
+                                        "projection_full_seconds")),
+        "projection_shard_seconds": shards or prior.get(
+            "projection_shard_seconds", {}),
+        "projected_efficiency_strong_1_to_N": projected or prior.get(
+            "projected_efficiency_strong_1_to_N", {}),
+        "projected_efficiency_weak_1_to_N": projected_weak or prior.get(
+            "projected_efficiency_weak_1_to_N", {}),
     }
+    if prior.get("backend") and record["backend"] != prior["backend"]:
+        record["backend"] = f"{prior['backend']}+{record['backend']}"
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record), flush=True)
