@@ -20,7 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
-    # Force the 8-device CPU mesh when only one real device exists.
+    # IZPI_SCALING_CPU=1 → the 8-device virtual CPU mesh. The image's
+    # sitecustomize force-selects the axon TPU platform via env, so the
+    # switch must happen at runtime (same dance as tests/conftest.py).
+    if os.environ.get("IZPI_SCALING_CPU"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     emulated = False
