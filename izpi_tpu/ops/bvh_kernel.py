@@ -524,98 +524,6 @@ def build_traverse_fn(ks: KernelScene, n_rays: int,
 
 
 # --------------------------------------------------------------------------
-# Binning kernel: each ray's NEXT treelet in serve-by-entry order, computed
-# in-register over the treelet table — the (n, T) entry/todo matrices this
-# replaces cost ~30-50 ms of HBM traffic per round at 262k rays × T=514
-# (docs/PERF.md round 4). A treelet is identified by a composite u31 key
-# (f32 entry bits with the low 10 mantissa bits replaced by the treelet id):
-# monotone in entry, unique per treelet, so a per-ray scalar `served_key`
-# threshold walks the itinerary in entry order with no per-(ray, treelet)
-# state. Clearing mantissa bits only LOWERS the entry, which keeps it a
-# valid lower bound for every hit t in the subtree (pruning stays exact).
-# --------------------------------------------------------------------------
-
-KEY_ID_BITS = 10
-KEY_ID_MASK = (1 << KEY_ID_BITS) - 1
-KEY_SENTINEL = 0x7FFFFFFF  # > any real key (finite entry bits < 0x7F800000)
-
-
-def _binning_kernel(tbox_ref,                    # VMEM (T, 128) lane-dense
-                    ox, oy, oz, dx, dy, dz,      # VMEM (TS, 128) ray planes
-                    served, bt,                  # VMEM (TS,128) i32 / f32
-                    out_key,                     # VMEM (TS, 128) i32
-                    *, n_treelets: int):
-    o = (ox[:], oy[:], oz[:])
-    inv = tuple(1.0 / jnp.where(dc[:] == 0.0, T_EPS, dc[:])
-                for dc in (dx, dy, dz))
-    served_v = served[:]
-    bt_v = bt[:]
-
-    def body(t, best):
-        row = tbox_ref[pl.ds(t, 1), :]
-        tn = jnp.full((TS, 128), -3.0e38, jnp.float32)
-        tf = jnp.full((TS, 128), 3.0e38, jnp.float32)
-        for ax in range(3):
-            lo = row[0, ax]
-            hi = row[0, 3 + ax]
-            t0 = (lo - o[ax]) * inv[ax]
-            t1 = (hi - o[ax]) * inv[ax]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        entry = jnp.maximum(tn, 0.0)
-        hit = tf > entry
-        key = (jax.lax.bitcast_convert_type(entry, jnp.int32)
-               & ~KEY_ID_MASK) | t
-        # masked-entry recovery for the best_t prune (lower bound)
-        entry_m = jax.lax.bitcast_convert_type(key & ~KEY_ID_MASK,
-                                               jnp.float32)
-        cand = hit & (key > served_v) & (entry_m < bt_v) & (key < best)
-        return jnp.where(cand, key, best)
-
-    out_key[:] = jax.lax.fori_loop(
-        0, n_treelets, body, jnp.full((TS, 128), KEY_SENTINEL, jnp.int32))
-
-
-def build_binning_fn(treelets, n_rays: int, interpret: bool | None = None):
-    """Returns fn(o, d, served_key (n,) i32, best_t (n,)) -> next_key (n,)
-    i32 (KEY_SENTINEL = no remaining treelet)."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    T = int(treelets.shape[0])
-    assert T <= KEY_ID_MASK, (T, "treelet id must fit the key id field")
-    tile = TS * 128
-    n_grid = -(-n_rays // tile)
-    n_pad = n_grid * tile
-    tbox = jnp.zeros((T, 128), jnp.float32).at[:, :6].set(
-        jnp.asarray(treelets, jnp.float32))
-
-    ray_spec = pl.BlockSpec((TS, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        functools.partial(_binning_kernel, n_treelets=T),
-        grid=(n_grid,),
-        in_specs=[pl.BlockSpec((T, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)] + [ray_spec] * 8,
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.int32),
-        interpret=interpret,
-    )
-
-    def plane(x, dtype=jnp.float32):
-        return jnp.pad(jnp.asarray(x, dtype),
-                       (0, n_pad - n_rays)).reshape(n_grid * TS, 128)
-
-    def run(o, d, served_key, best_t):
-        out = call(tbox,
-                   plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-                   plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-                   plane(served_key, jnp.int32), plane(best_t))
-        return out.reshape(-1)[:n_rays]
-
-    return run
-
-
-# --------------------------------------------------------------------------
 # Ray sorting: union traversal thrives on coherence. Key = 4-bit-per-axis
 # Morton of the origin inside the scene AABB interleaved with 4-bit-per-axis
 # Morton of the unit direction — origin alone degenerates for camera rays
@@ -794,7 +702,6 @@ class BVHKernelIntersector:
         self.rebin = rebin
         self.rounds = rounds
         self._fns = {}
-        self._binfns = {}
 
     def _fn(self, n):
         fn = self._fns.get(n)
@@ -803,111 +710,118 @@ class BVHKernelIntersector:
             self._fns[n] = fn
         return fn
 
-    def _binfn(self, n):
-        fn = self._binfns.get(n)
-        if fn is None:
-            fn = build_binning_fn(self.treelets, n,
-                                  interpret=self.interpret)
-            self._binfns[n] = fn
-        return fn
-
-    def _rebin_traverse(self, fn, binfn, o, d, time, t_min, t_max, n):
+    def _rebin_traverse(self, fn, o, d, time, t_min, t_max, n):
         """Multi-round treelet-re-binned traversal — the incoherent-ray fast
         path. Union traversal saturates toward the whole tree when one
         1024-lane tile wants rays everywhere (docs/PERF.md); instead, rays
         are BINNED: every round RE-SORTS rays by the id of their nearest
-        still-useful treelet (per-ray itinerary = treelets in entry order,
-        pruned by the running best t) and every tile traverses ONLY its
-        rays' treelet roots. A ray finishes when its next treelet's
+        still-useful treelet (per-ray itinerary = treelets ordered by entry
+        distance, pruned by the running best t) and every tile traverses
+        ONLY its rays' treelet roots. A ray finishes when its next treelet's
         conservative entry distance is >= its best hit t (exact: entry
         lower-bounds every t in the subtree).
 
-        Round-4 design (serve-in-entry-order): each ray carries ONE scalar
-        `served_key` — the composite (entry bits | treelet id) key of the
-        last treelet its tile served — and the Pallas binning kernel
-        recomputes the next key in-register each round. This replaces both
-        the stale-order rounds (rounds 2+ on one up-front sort degraded to
-        full-root cost: 734 vs 31 ms confined at 262k rays) AND the
-        (n, T) entry/todo matrices of the first re-sort design (~30-50 ms
-        of HBM traffic per round). Done rays key to T and sort last, so
-        their tiles launch with empty start sets. The final cleanup pass
-        sorts still-pending rays first and walks them from the FULL root
-        with their t caps — exact regardless of itinerary length, at a cost
-        proportional to the pending tile count.
+        The PER-ROUND re-sort is the round-4 fix: with one up-front sort,
+        rays' SECOND treelets are scattered across the stale order, so
+        rounds 2+ pushed huge multi-root unions and measured at near
+        full-root cost (734 ms vs 31 ms for a confined pass at 262k rays,
+        scripts/experiments/dragon_phase_r4.py). Re-sorting keys done rays
+        to T (sorted last — their tiles push no roots and launch as no-ops),
+        so every round runs under round-1 conditions: pure tiles, one root
+        each, cost proportional to the drained pool. The final cleanup pass
+        re-sorts too and pushes each tile's union of ALL remaining treelets
+        (exact; overflow falls back to a full-root walk).
 
         The per-goroutine analog it answers is the reference's exact
         per-ray stack walk (bvh4.go:49-163)."""
         tile = TS * 128
         n_grid = -(-n // tile)
         T = self.treelets.shape[0]
+        assert T < 2048, "sort key packs the treelet id into 11 bits"
+        entry = treelet_entries(o, d, self.treelets)          # (n, T)
         morton = sort_keys(o, d, self.lo, self.hi)            # 24-bit key
-        served = jnp.full((n,), -1, jnp.int32)   # every real key is >= 0
+        todo = jnp.isfinite(entry)
         best_t = jnp.full((n,), prim.T_MAX, jnp.float32)
         best_raw = jnp.full((n,), -1, jnp.int32)
 
         mids = jnp.minimum(
             jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
         ray_tile_s = jnp.arange(n, dtype=jnp.int32) // tile   # sorted space
-        arange_n = jnp.arange(n, dtype=jnp.int32)
         jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
-        k_roots = min(MULTI_K, T)
 
-        def fold(order, t_r, i_r, best_t, best_raw):
-            t_g = jnp.zeros_like(best_t).at[order].set(t_r)
-            i_g = jnp.full_like(best_raw, -1).at[order].set(i_r)
-            improved = (i_g >= 0) & (t_g < best_t)
-            return (jnp.where(improved, t_g, best_t),
-                    jnp.where(improved, i_g, best_raw))
-
-        for _ in range(self.rounds):
-            nk = binfn(o, d, served, best_t)
-            pending = nk != KEY_SENTINEL
-            tid = jnp.where(pending, nk & KEY_ID_MASK, T)
-            order = jnp.argsort((tid << 20) | (morton >> 4))
+        def step(todo, best_t, best_raw, remaining_union: bool):
+            """One re-sorted confined pass. All carries live in GLOBAL ray
+            order; sorting is internal to the pass."""
+            masked = jnp.where(todo & (entry < best_t[:, None]), entry,
+                               jnp.inf)
+            cur_entry = jnp.min(masked, axis=1)
+            pending = jnp.isfinite(cur_entry)
+            key = jnp.where(pending, jnp.argmin(masked, axis=1)
+                            .astype(jnp.int32), T)
+            # Done rays carry key T → they sort to the tail and their tiles
+            # launch with empty start sets. Morton below the treelet id
+            # keeps intra-tile coherence for the leaf tests.
+            order = jnp.argsort((key << 20) | (morton >> 4))
             o_s, d_s, tm_s = o[order], d[order], time[order]
-            tid_s = tid[order]
-            tile_any = (jnp.zeros((n_grid, T + 1), bool)
-                        .at[ray_tile_s, tid_s].set(True))[:, :T]
+            key_s = key[order]
+
+            if remaining_union:
+                want_s = jnp.isfinite(masked)[order]          # (n, T)
+                tile_any = want_s.reshape(n_grid, tile, T).any(axis=1)
+            else:
+                tile_any = (jnp.zeros((n_grid, T + 1), bool)
+                            .at[ray_tile_s, key_s].set(True))[:, :T]
+            k_roots = min(MULTI_K, T)
             topk = jnp.sort(jnp.where(tile_any, jcol, T),
                             axis=1)[:, :k_roots]
             starts = jnp.where(topk < T, self.treelet_nodes[topk], -1)
             over = tile_any.sum(axis=1) > k_roots
-            # Overflow (rare after a fresh sort): traverse only the
-            # tile-middle majority treelet; stragglers stay pending for the
-            # cleanup. A tile whose middle ray is done gets a no-op start.
-            tile_tl = tid_s[mids]
-            fallback = jnp.concatenate(
-                [jnp.where(tile_tl < T,
-                           self.treelet_nodes[jnp.minimum(tile_tl, T - 1)],
-                           -1)[:, None],
-                 jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
+            tile_tl = key_s[mids]
+            if remaining_union:
+                # Overflow in the CLEANUP pass must stay exact: there is no
+                # later pass to catch dropped treelets, so fall back to a
+                # full-tree root walk, which serves every treelet.
+                fallback = jnp.concatenate(
+                    [jnp.zeros((n_grid, 1), jnp.int32),
+                     jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
+                served_over = jnp.ones((n_grid, T), bool)
+            else:
+                # Mid-round overflow (rare after a fresh sort: only treelet
+                # boundary tiles push >1 root): traverse only the
+                # tile-middle majority treelet; stragglers stay pending. A
+                # tile whose middle ray is not pending (tile_tl == T) gets
+                # a no-op start — treelet_nodes[T] is the root, and a full
+                # root walk that serves NOTHING is pure waste.
+                fallback = jnp.concatenate(
+                    [jnp.where(tile_tl < T,
+                               self.treelet_nodes[jnp.minimum(tile_tl, T - 1)],
+                               -1)[:, None],
+                     jnp.full((n_grid, k_roots - 1), -1, jnp.int32)], axis=1)
+                served_over = jcol == tile_tl[:, None]
             starts = jnp.where(over[:, None], fallback, starts)
+            served = jnp.where(over[:, None], served_over,
+                               tile_any)                      # (n_grid, T)
             tcap_s = jnp.where(pending, best_t, t_min)[order]
             t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,
                           starts=starts, tcap=tcap_s, raw_idx=True)
-            best_t, best_raw = fold(order, t_r, i_r, best_t, best_raw)
-            # served iff the ray's treelet was actually pushed by its tile
-            inv = jnp.zeros(n, jnp.int32).at[order].set(arange_n)
-            rtile = inv // tile
-            in_set = tile_any.reshape(-1)[
-                rtile * T + jnp.minimum(tid, T - 1)]
-            covered = jnp.where(over[rtile], tid == tile_tl[rtile], in_set)
-            served = jnp.where(pending & covered & (tid < T), nk, served)
+            # scatter-unsort results and the served sets back to global
+            t_g = jnp.zeros_like(best_t).at[order].set(t_r)
+            i_g = jnp.full_like(best_raw, -1).at[order].set(i_r)
+            improved = (i_g >= 0) & (t_g < best_t)
+            best_t = jnp.where(improved, t_g, best_t)
+            best_raw = jnp.where(improved, i_g, best_raw)
+            # ray's tile in THIS round's order, recovered without a second
+            # sort: inv[order[i]] = i.
+            inv = jnp.zeros(n, jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            served_ray = served[inv // tile] & pending[:, None]
+            todo = todo & ~served_ray
+            return todo, best_t, best_raw
 
-        # Exact cleanup: still-pending rays (deep itineraries, overflow
-        # leftovers) sort FIRST and walk the full tree with their t caps;
-        # tiles with no pending ray launch as no-ops.
-        nk = binfn(o, d, served, best_t)
-        pending = nk != KEY_SENTINEL
-        order = jnp.argsort(
-            jnp.where(pending, 0, 1 << 30) | (morton >> 4))
-        o_s, d_s, tm_s = o[order], d[order], time[order]
-        pend_tile = pending[order].reshape(n_grid, tile).any(axis=1)
-        starts = jnp.where(pend_tile, 0, -1)
-        tcap_s = jnp.where(pending, best_t, t_min)[order]
-        t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,
-                      starts=starts, tcap=tcap_s, raw_idx=True)
-        best_t, best_raw = fold(order, t_r, i_r, best_t, best_raw)
+        for _ in range(self.rounds):
+            todo, best_t, best_raw = step(todo, best_t, best_raw, False)
+        # Exact cleanup: whatever the rounds left (multi-treelet stragglers).
+        todo, best_t, best_raw = step(todo, best_t, best_raw, True)
 
         idx = jnp.where(best_raw >= 0,
                         self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
@@ -917,9 +831,8 @@ class BVHKernelIntersector:
         n = o.shape[0]
         fn = self._fn(n)
         if (self.rebin and n >= 2048 and self.treelets is not None
-                and 1 < self.treelets.shape[0] <= KEY_ID_MASK):
-            t, idx = self._rebin_traverse(fn, self._binfn(n), o, d, time,
-                                          t_min, t_max, n)
+                and self.treelets.shape[0] > 1):
+            t, idx = self._rebin_traverse(fn, o, d, time, t_min, t_max, n)
             hit = idx >= 0
             return prim.finalize_hit(self.cs.prims, o, d, time, t, idx, hit)
         if self.sort and n >= 2048:
