@@ -9,16 +9,19 @@ goroutine pool (render/renderer.go:112-147).
 
 Two schedulers:
 
-- SLOT-PINNED (default when the frame fits the pool): slot s serves pixel
-  s mod n_pix forever and walks its replica's strided sample indices
-  (replica k of r handles samples k, k+r, k+2r, …). The radiance deposit is
-  a pure per-slot accumulator and the refill a per-slot counter — ZERO
-  scatter-adds and ZERO cumsum queues per bounce, both of which cost
-  milliseconds per iteration at 256k slots on TPU. Same scheme as the
-  Pallas megakernel's slot pinning (ops/megakernel.py).
-- QUEUE (fallback for frames larger than the pool): freed slots pull global
-  sample ids from an on-device counter via a cumsum ranking, deposits
-  scatter-add into the pixel accumulator.
+- QUEUE (default since round 4): freed slots pull global sample ids from
+  an on-device counter via a cumsum ranking, deposits scatter-add into
+  the pixel accumulator. Occupancy stays ~100% regardless of per-pixel
+  depth variance.
+- SLOT-PINNED (selectable; also the Pallas megakernel's scheme): slot s
+  serves pixel s mod n_pix forever and walks its replica's strided sample
+  indices (replica k of r handles samples k, k+r, k+2r, …). The radiance
+  deposit is a pure per-slot accumulator and the refill a per-slot
+  counter — ZERO scatter-adds and ZERO cumsum queues per bounce. The
+  catch (measured round 4): it CONVOYS on per-pixel depth variance — a
+  slot pinned to a deep pixel runs long after shallow slots drain (48%
+  occupancy on pbr_ibl, 32% on the dragon box), which outweighs the
+  queue's ~2-4 ms/iteration of scatter+cumsum at production sizes.
 
 Both enumerate exactly the (pixel, sample) pairs of the lockstep renderer
 and key them identically, so estimates match it up to fp accumulation order.
