@@ -340,6 +340,12 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
             # Progressive preview needs chunks (the analog of the live
             # SDL/Fyne tile stream, internal/display — headless here).
             chunk_spp = max(1, spp // 8)
+        if verbose and chunk_spp == spp and spp >= 8:
+            # Live progress during long renders (the reference's pb
+            # progress bar, renderer.go:110-121): chunk so something
+            # prints; per-chunk estimates are offset-exact by design
+            # (checkpoint tests pin this).
+            chunk_spp = max(1, spp // 8)
         acc_total = np.zeros((nx * ny, 3), np.float32)
         total_rays = 0
         start = 0
@@ -375,7 +381,13 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
                         snap.astype(np.float64), meta.exposure)
                 output_mod.write_png(preview_path, snap)
             if verbose:
-                print(f"samples {off + n_chunk}/{spp} done")
+                done = off + n_chunk - start
+                elapsed = time_mod.perf_counter() - t0
+                eta = elapsed / max(done, 1) * (spp - off - n_chunk)
+                print(f"samples {off + n_chunk}/{spp} | "
+                      f"{total_rays / 1e6:.1f}M rays | "
+                      f"{total_rays / max(elapsed, 1e-9) / 1e6:.1f} Mrays/s"
+                      f" | eta {eta:.0f}s", flush=True)
         acc = acc_total
         nrays = total_rays
         seconds = time_mod.perf_counter() - t0
