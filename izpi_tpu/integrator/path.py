@@ -101,7 +101,7 @@ def _gather_mat(cs, mat_id):
 
 
 def _gather_mat_spectral(cs, mat_id):
-    """Spectral variant of the packed material gather: one (M, 22) row."""
+    """Spectral variant of the packed material gather: one (M, 24) row."""
     safe = jnp.maximum(mat_id, 0)
     m = cs.materials
     f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
