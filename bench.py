@@ -51,6 +51,9 @@ def run_config(name, scene_name, nx, ny, spp, depth, sampler, background):
     from izpi_tpu.render import renderer
     from izpi_tpu.scene.library import get_scene
 
+    import os
+    import statistics
+
     scene = get_scene(scene_name, aspect=nx / ny)
     settings = path_mod.RenderSettings(max_depth=depth,
                                        background=tuple(background))
@@ -58,11 +61,18 @@ def run_config(name, scene_name, nx, ny, spp, depth, sampler, background):
     kwargs = dict(settings=settings, seed=0, context=ctx,
                   sampler_type=sampler)
     renderer.render(None, nx, ny, spp, **kwargs)  # warmup/compile
-    res = renderer.render(None, nx, ny, spp, **kwargs)
+    # Single-shot numbers through the tunneled chip carry ~±8% spread
+    # (docs/PERF.md cornell repeats); IZPI_BENCH_REPEATS>1 reports the
+    # median. Default 1 keeps the driver's wall-clock budget.
+    reps = max(1, int(os.environ.get("IZPI_BENCH_REPEATS", "1")))
+    vals = []
+    for _ in range(reps):
+        res = renderer.render(None, nx, ny, spp, **kwargs)
+        vals.append(res.mrays_per_sec)
     # Surface procedural stand-ins IN the parsed record, not just stderr:
     # a BENCH line for a placeholder scene must say so itself.
     placeholder = bool(ctx.meta.placeholder_assets)
-    return res.mrays_per_sec, placeholder
+    return statistics.median(vals), placeholder
 
 
 def main():
