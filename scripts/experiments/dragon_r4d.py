@@ -40,14 +40,6 @@ w[flip] = -w[flip]
 o_b = jnp.asarray(p[pick] + nrm[pick] * 1e-3, jnp.float32)
 d_b = jnp.asarray(w, jnp.float32)
 
-binfn = inter._binfn(N)
-bf = jax.jit(lambda o, d: binfn(o, d, jnp.full((N,), -1, jnp.int32),
-                                jnp.full((N,), prim.T_MAX, jnp.float32)))
-out = jax.block_until_ready(bf(o_b, d_b))
-t0 = time.time()
-out = jax.block_until_ready(bf(o_b, d_b))
-print(f"binning kernel alone: {(time.time()-t0)*1e3:7.1f} ms", flush=True)
-
 trav = jax.jit(lambda o, d, tm: inter(o, d, tm, 1e-3, prim.T_MAX))
 for label, o, d in (("camera", o_c, d_c), ("bounce", o_b, d_b)):
     out = jax.block_until_ready(trav(o, d, tm))
