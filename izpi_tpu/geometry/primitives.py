@@ -258,20 +258,35 @@ def intersect_brute(prims: Prims, o, d, time, t_min, t_max, chunk: int = 512):
 def finalize_hit(prims: Prims, o, d, time, t, idx, hit) -> Hit:
     """Recompute the full shading record for the winning primitive per ray.
 
-    One gather per field (per ray), then tagged selects — the SoA analog of
-    the reference building a HitRecord in each Hit() method.
+    The per-prim fields are packed into ONE (P, 32) f32 row and gathered
+    with a single row lookup per ray: big-table gathers on this backend are
+    index-count bound (~13 ns/lookup regardless of payload width,
+    docs/PERF.md round 4), so one 32-wide row gather costs what one scalar
+    gather does — the previous ten per-field gathers cost ~10x that at
+    dragon scale. The pack itself is loop-invariant (prims don't change
+    across bounces) and hoists out of the wavefront while-loop.
     """
     idx_safe = jnp.maximum(idx, 0)
-    kind = prims.kind[idx_safe]
-    g0 = prims.g0[idx_safe]
-    g1 = prims.g1[idx_safe]
-    g2 = prims.g2[idx_safe]
-    g3 = prims.g3[idx_safe]
-    uv6 = prims.uv[idx_safe]
-    vn9 = prims.vn[idx_safe]
-    has_vn = prims.has_vn[idx_safe]
-    flip = prims.flip[idx_safe]
-    mat_id = jnp.where(hit, prims.mat_id[idx_safe], -1)
+    packed = jnp.concatenate([
+        prims.g0, prims.g1, prims.g2, prims.g3,            # 0:12
+        prims.uv, prims.vn,                                # 12:18, 18:27
+        prims.kind.astype(jnp.float32)[:, None],           # 27
+        prims.has_vn.astype(jnp.float32)[:, None],         # 28
+        prims.flip.astype(jnp.float32)[:, None],           # 29
+        prims.mat_id.astype(jnp.float32)[:, None],         # 30
+        jnp.zeros((prims.kind.shape[0], 1), jnp.float32),  # pad to 32
+    ], axis=1)
+    row = packed[idx_safe]
+    g0 = row[..., 0:3]
+    g1 = row[..., 3:6]
+    g2 = row[..., 6:9]
+    g3 = row[..., 9:12]
+    uv6 = row[..., 12:18]
+    vn9 = row[..., 18:27]
+    kind = row[..., 27].astype(jnp.int32)
+    has_vn = row[..., 28] != 0.0
+    flip = row[..., 29] != 0.0
+    mat_id = jnp.where(hit, row[..., 30].astype(jnp.int32), -1)
 
     p = o + t[..., None] * d
 

@@ -57,19 +57,23 @@ LAMBDA_SALT = 0x7A3B
 MAX_STATIC_ITERS = 256
 
 
-def _run_scheduler(cond, body, state0, total, n, max_depth):
+def _run_scheduler(cond, body, state0, total, n, max_depth,
+                   loop: str = None):
     """Pick the loop structure (see core.loops for the backend pathology
     measurements that motivate each branch).
 
-    IZPI_POOL_LOOP=while forces a plain lax.while_loop: round-4
+    loop="while" (the default) is a plain lax.while_loop: round-4
     measurements (scripts/experiments/pbr_body_bisect.py) showed the
     chunked guard structure costing ~40% on pbr_ibl (2.21 s vs 1.56 s for
     identical work), i.e. the historical ~60 ms/predicate sync no longer
     reproduces at pool shapes — but the guarded forms are kept selectable
-    until every engine is re-measured."""
-    import os
+    until every engine is re-measured. Callers resolve IZPI_POOL_LOOP at
+    build time and pass it here (renderer.pool_runner); the env is read at
+    trace time only for direct callers that pass nothing."""
+    if loop is None:
+        import os
 
-    loop = os.environ.get("IZPI_POOL_LOOP", "while")
+        loop = os.environ.get("IZPI_POOL_LOOP", "while")
     if loop == "while":
         return jax.lax.while_loop(cond, body, state0)
     bound = -(-total * max_depth // n) + max_depth
@@ -83,7 +87,7 @@ def _run_scheduler(cond, body, state0, total, n, max_depth):
 def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
                base_key, pool_size: int, spectral: bool = False,
                bg_spd_id: int = 0, sample_offset: int = 0,
-               scheduler: str = "auto"):
+               scheduler: str = "auto", loop: str = None):
     """Render nx×ny@spp with a persistent path pool.
 
     Returns (acc (nx*ny, 3) summed radiance — RGB, or CIE XYZ in spectral
@@ -101,6 +105,8 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
     Frames larger than the pool always queue."""
     n_pix = nx * ny
     if scheduler == "auto":
+        # Direct callers get the env fallback at trace time; the renderer
+        # resolves IZPI_POOL_SCHED once at runner-build time instead.
         import os
 
         scheduler = os.environ.get("IZPI_POOL_SCHED", "")
@@ -117,10 +123,11 @@ def trace_pool(cs, meta, settings, intersect, nx: int, ny: int, spp: int,
         return _trace_pool_pinned(
             cs, meta, settings, intersect, nx, ny, spp, base_key, pool_size,
             spectral=spectral, bg_spd_id=bg_spd_id,
-            sample_offset=sample_offset)
+            sample_offset=sample_offset, loop=loop)
     return _trace_pool_queue(
         cs, meta, settings, intersect, nx, ny, spp, base_key, pool_size,
-        spectral=spectral, bg_spd_id=bg_spd_id, sample_offset=sample_offset)
+        spectral=spectral, bg_spd_id=bg_spd_id, sample_offset=sample_offset,
+        loop=loop)
 
 
 def _make_ray_fns(cs, base_key, nx, ny, n_pix, spectral, sample_offset):
@@ -193,7 +200,8 @@ def _bounce_step(cs, meta, settings, intersect, st, spectral, bg_spd_id):
 
 
 def _trace_pool_pinned(cs, meta, settings, intersect, nx, ny, spp, base_key,
-                       pool_size, spectral, bg_spd_id, sample_offset):
+                       pool_size, spectral, bg_spd_id, sample_offset,
+                       loop=None):
     """Slot-pinned pool: n_pix·r slots, replica k strided over samples
     {k, k+r, …} ∩ [0, spp). No scatters, no queues."""
     n_pix = nx * ny
@@ -258,13 +266,15 @@ def _trace_pool_pinned(cs, meta, settings, intersect, nx, ny, spp, base_key,
             nrays=st["nrays"] + upd["nrays"],
         )
 
-    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth)
+    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth,
+                           loop=loop)
     acc = final["acc"].reshape(r, n_pix, 3).sum(axis=0)
     return acc, final["nrays"]
 
 
 def _trace_pool_queue(cs, meta, settings, intersect, nx, ny, spp, base_key,
-                      pool_size, spectral, bg_spd_id, sample_offset):
+                      pool_size, spectral, bg_spd_id, sample_offset,
+                      loop=None):
     """Queue pool for frames larger than the pool: freed slots pull global
     sample ids (pixel-major) from an on-device counter."""
     n_pix = nx * ny
@@ -331,5 +341,6 @@ def _trace_pool_queue(cs, meta, settings, intersect, nx, ny, spp, base_key,
             nrays=st["nrays"] + upd["nrays"],
         )
 
-    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth)
+    final = _run_scheduler(cond, body, state0, total, n, settings.max_depth,
+                           loop=loop)
     return final["acc"], final["nrays"]

@@ -279,6 +279,17 @@ def _read_exr(path: str) -> np.ndarray:
     n_blocks = -(-h // lines_per_block)
     line_order = attrs.get("lineOrder", (None, b"\0"))[1][0]
 
+    if comp == 3 and h > 1:
+        # Legacy-writer fallback: an earlier version of this writer declared
+        # ZIP (16-line blocks) but emitted one-scanline chunks. Such files
+        # have h offsets (first chunk starts right after an h-entry offset
+        # table) instead of ceil(h/16); detect and parse them line-wise
+        # rather than dying in a short-buffer error.
+        legacy_first = struct.unpack("<q", data[pos:pos + 8])[0]
+        if legacy_first == pos + 8 * h != pos + 8 * n_blocks:
+            lines_per_block = 1
+            n_blocks = h
+
     offsets = struct.unpack(f"<{n_blocks}q", data[pos:pos + 8 * n_blocks])
     bytes_per_line = sum(w * _EXR_PIXSIZE[pt] for _, pt in chans)
     planes = {cname: np.zeros((h, w), np.float32) for cname, _ in chans}

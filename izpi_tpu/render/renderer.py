@@ -185,16 +185,25 @@ class RenderContext:
         cache_key = (nx, ny, spectral, bg_spd_id, settings)
         run = self._runners.get(cache_key)
         if run is None:
+            import os
+
             from izpi_tpu.integrator import wavefront
 
             cs, meta, intersect = self.cs, self.meta, self.intersect
+            # Env knobs resolve HERE, at runner-build time, and ride the
+            # closure as explicit arguments: reading os.environ inside the
+            # traced function meant a change after first compile silently
+            # did nothing (advisor round 4).
+            scheduler = os.environ.get("IZPI_POOL_SCHED", "") or "auto"
+            loop = os.environ.get("IZPI_POOL_LOOP", "while")
 
             @partial(jax.jit, static_argnames=("n_spp", "pool"))
             def run(key, n_spp, pool, sample_offset):
                 return wavefront.trace_pool(
                     cs, meta, settings, intersect, nx, ny, n_spp, key, pool,
                     spectral=spectral, bg_spd_id=bg_spd_id,
-                    sample_offset=sample_offset,
+                    sample_offset=sample_offset, scheduler=scheduler,
+                    loop=loop,
                 )
 
             self._runners[cache_key] = run
@@ -346,13 +355,19 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
             # prints; per-chunk estimates are offset-exact by design
             # (checkpoint tests pin this).
             chunk_spp = max(1, spp // 8)
-        acc_total = np.zeros((nx * ny, 3), np.float32)
+        # float64 host accumulator: chunked renders (verbose/preview/
+        # checkpoint) would otherwise reorder float32 sums relative to a
+        # single-pass run of identical parameters (advisor round 4); f64
+        # absorbs the per-chunk rounding so chunking is sum-order invariant
+        # to float32 resolution.
+        acc_total = np.zeros((nx * ny, 3), np.float64)
         total_rays = 0
         start = 0
         if checkpoint_path:
             resumed = ckpt_mod.load(checkpoint_path, fingerprint)
             if resumed is not None:
                 acc_total, start, total_rays = resumed
+                acc_total = acc_total.astype(np.float64)
                 if verbose:
                     print(f"resumed at sample {start}/{spp}")
 
@@ -396,7 +411,7 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
             "first_chunk_incl_compile": round(first_chunk_seconds or 0.0, 4),
             "render": round(seconds, 4),
         }
-        canvas = (acc / spp).reshape(ny, nx, 3)[::-1]
+        canvas = (acc / spp).reshape(ny, nx, 3)[::-1].astype(np.float32)
         if spectral:
             # Post pipeline for spectral renders (leader.go:216-219):
             # firefly rejection on XYZ, then XYZ→ACEScg with exposure.

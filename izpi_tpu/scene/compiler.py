@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -686,21 +687,34 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
     tex_kind_h = np.asarray(b.tex_kind)
     tex_img_h = np.asarray(b.tex_img_id)
 
-    def _img_of(tid):
+    def _img_id_of(tid):
         if tid is None or tid < 0 or tid >= len(tex_kind_h):
             return None
         if tex_kind_h[tid] != tex_tables.TEX_IMAGE:
             return None
-        return b.images[tex_img_h[tid]]
+        return int(tex_img_h[tid])
 
+    # Combos are deduped by their (albedo, normal, rough, metal) IMAGE-id
+    # tuple — the baked row depends only on those images — so materials
+    # sharing one PBR map set share one slab instead of each baking a
+    # (maxH, maxW, 8) copy. A byte cap bounds the padded stack: materials
+    # whose combo would blow it keep combo_id=-1 and take the generic
+    # 4-gather path instead (integrator reads combo_id<0 as "no combo").
+    combo_bytes_cap = int(os.environ.get("IZPI_COMBO_BYTES_CAP",
+                                         str(1 << 29)))
     combo_ids = []
     combos = []
+    combo_by_key = {}
     for r in b.mat_rows:
-        imgs = [_img_of(r["tex_albedo"]), _img_of(r["tex_normal"]),
-                _img_of(r["tex_rough"]), _img_of(r["tex_metal"])]
-        if all(im is None for im in imgs):
+        key = (_img_id_of(r["tex_albedo"]), _img_id_of(r["tex_normal"]),
+               _img_id_of(r["tex_rough"]), _img_id_of(r["tex_metal"]))
+        if all(iid is None for iid in key):
             combo_ids.append(-1)
             continue
+        if key in combo_by_key:
+            combo_ids.append(combo_by_key[key])
+            continue
+        imgs = [None if iid is None else b.images[iid] for iid in key]
         ch = max(im.shape[0] for im in imgs if im is not None)
         cw = max(im.shape[1] for im in imgs if im is not None)
         jj, ii = np.meshgrid(np.arange(ch), np.arange(cw), indexing="ij")
@@ -724,8 +738,24 @@ def compile_scene(scene: st.Scene) -> Tuple[CompiledScene, SceneMeta]:
         if imgs[3] is not None:
             s3 = samp(imgs[3])
             out[..., 7] = (s3[..., 0] + s3[..., 1] + s3[..., 2]) / 3.0
+        combo_by_key[key] = len(combos)
         combo_ids.append(len(combos))
         combos.append(out)
+    if combos:
+        # Enforce the cap on the PADDED stack (every combo pays the global
+        # max resolution): evict largest-first until it fits, remapping
+        # evicted materials to the generic path.
+        while combos:
+            c_h = max(c.shape[0] for c in combos)
+            c_w = max(c.shape[1] for c in combos)
+            if len(combos) * c_h * c_w * 8 * 4 <= combo_bytes_cap:
+                break
+            biggest = max(range(len(combos)),
+                          key=lambda i: combos[i].shape[0]
+                          * combos[i].shape[1])
+            combos.pop(biggest)
+            combo_ids = [-1 if c == biggest else (c - 1 if c > biggest else c)
+                         for c in combo_ids]
     if combos:
         c_h = max(c.shape[0] for c in combos)
         c_w = max(c.shape[1] for c in combos)
