@@ -253,6 +253,7 @@ def _eval_tex(cs, meta, tex_id, u, v, p):
         cs.textures, tex_id, u, v, p,
         has_checker=meta.has_checker, has_image=meta.has_image,
         has_noise=meta.has_noise,
+        shard_axis=getattr(meta, "tex_shard_axis", None),
     )
 
 
@@ -277,6 +278,7 @@ def _eval_pbr_texs(cs, meta, mat, rec, differentiable: bool = False):
     are trainable parameters and the baked stack carries no gradients."""
     n = rec.u.shape[0]
     tex = cs.textures
+    shard_axis = getattr(meta, "tex_shard_axis", None)
     use_combined = (not differentiable) and tex.combined.shape[0] > 0
 
     if not use_combined:
@@ -297,7 +299,16 @@ def _eval_pbr_texs(cs, meta, mat, rec, differentiable: bool = False):
                  0, jnp.maximum(w - 1, 0))
     j = jnp.clip(((1.0 - rec.v) * (h.astype(jnp.float32) - 0.001))
                  .astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
-    row = tex.combined[safe, j, i]                      # (N, 8) ONE gather
+    if shard_axis is None:
+        row = tex.combined[safe, j, i]                  # (N, 8) ONE gather
+    else:
+        # Sharded combined stack: local slice lookup + one psum (see
+        # texture.tables.eval_rgb for the design note).
+        local = safe - tex.combo_base
+        n_loc = tex.combined.shape[0]
+        owned = valid & (local >= 0) & (local < n_loc)
+        row = tex.combined[jnp.clip(local, 0, n_loc - 1), j, i]
+        row = jax.lax.psum(jnp.where(owned[:, None], row, 0.0), shard_axis)
 
     # generic values for non-image slots — no image gathers compiled in
     def gen(tid):

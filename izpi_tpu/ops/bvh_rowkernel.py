@@ -126,7 +126,7 @@ def pack_scene(prims: prim.Prims, bvh: bvh_build.BVH4Arrays,
 def _row_kernel(limits_ref,                   # SMEM (1, 2): t_min, t_max
                 ntab_hbm, ptab_hbm,           # ANY (HBM)
                 ox, oy, oz, dx, dy, dz, tm, tcap,   # VMEM (TS,128)
-                t_out, idx_out,               # VMEM (TS,128)
+                t_out, idx_out, stat_out,     # VMEM (TS,128)
                 stacks, queue,                # SMEM (TS, KSTACK+1 / QCAP+1)
                 pblk, sems,                   # VMEM (TS*8, 128), DMA (TS,)
                 t_ref, i_ref,                 # VMEM (TS,128)
@@ -325,6 +325,7 @@ def _row_kernel(limits_ref,                   # SMEM (1, 2): t_min, t_max
         sps = carry[0:TS]
         qts = carry[TS:2 * TS]
         qhs = carry[2 * TS:3 * TS]
+        iters = carry[3 * TS]
 
         # Drain-issue: start one block DMA per pending row.
         pends = []
@@ -364,7 +365,7 @@ def _row_kernel(limits_ref,                   # SMEM (1, 2): t_min, t_max
 
         new_qhs = tuple(qhs[r] + pends[r].astype(jnp.int32)
                         for r in range(TS))
-        return sps + qts + new_qhs
+        return sps + qts + new_qhs + (iters + 1,)
 
     def cond(carry):
         sps = carry[0:TS]
@@ -376,11 +377,20 @@ def _row_kernel(limits_ref,                   # SMEM (1, 2): t_min, t_max
         return alive
 
     init = (tuple(jnp.int32(1) for _ in range(TS))
-            + tuple(jnp.int32(0) for _ in range(2 * TS)))
-    jax.lax.while_loop(cond, body, init)
+            + tuple(jnp.int32(0) for _ in range(2 * TS))
+            + (jnp.int32(0),))
+    final = jax.lax.while_loop(cond, body, init)
 
     t_out[:] = t_ref[:]
     idx_out[:] = i_ref[:]
+    # stats: lane 0 = outer-body iterations, lane 1 = total leaf serves
+    # (sum of final queue heads) — cheap, always on.
+    qh_sum = final[2 * TS]
+    for r in range(1, TS):
+        qh_sum = qh_sum + final[2 * TS + r]
+    li = jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 1)
+    stat_out[:] = jnp.where(
+        li == 0, final[3 * TS], jnp.where(li == 1, qh_sum, 0))
 
 
 def build_traverse_fn(rs: RowScene, n_rays: int,
@@ -408,9 +418,10 @@ def build_traverse_fn(rs: RowScene, n_rays: int,
             pl.BlockSpec(memory_space=pltpu.ANY),    # ntab (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # pblocks (HBM)
         ] + [ray_spec] * 8,
-        out_specs=[ray_spec, ray_spec],
+        out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_grid * TS, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -430,7 +441,7 @@ def build_traverse_fn(rs: RowScene, n_rays: int,
     def plane(x):
         return jnp.pad(x, (0, n_pad - n_rays)).reshape(n_grid * TS, 128)
 
-    def run(o, d, time, t_min, t_max, tcap=None):
+    def run(o, d, time, t_min, t_max, tcap=None, with_stats=False):
         limits = jnp.stack(
             [jnp.asarray(t_min, jnp.float32).reshape(()),
              jnp.minimum(jnp.asarray(t_max, jnp.float32).reshape(()),
@@ -442,8 +453,12 @@ def build_traverse_fn(rs: RowScene, n_rays: int,
         args = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
                 plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
                 plane(time), tcap_p]
-        t, idx = call(limits, rs.ntab, rs.pblocks, *args)
-        return t.reshape(-1)[:n_rays], idx.reshape(-1)[:n_rays]
+        t, idx, stats = call(limits, rs.ntab, rs.pblocks, *args)
+        t = t.reshape(-1)[:n_rays]
+        idx = idx.reshape(-1)[:n_rays]
+        if with_stats:
+            return t, idx, stats.reshape(n_grid, TS, 128)[:, 0, :2]
+        return t, idx
 
     return run
 

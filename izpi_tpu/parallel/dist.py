@@ -27,6 +27,7 @@ layer (leader/worker/assetprovider/discovery in the reference) is needed.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -156,7 +157,8 @@ def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
                                      mesh: Mesh, spp: int,
                                      spectral: bool = False,
                                      pool_size: int = 1 << 16,
-                                     use_bvh: Optional[bool] = None):
+                                     use_bvh: Optional[bool] = None,
+                                     shard_textures: bool = False):
     """Primitive-sharded production renderer — the >HBM-scene path (the
     reference streams triangles so every worker holds the whole scene,
     worker/setup.go:97-153 + 292-306; on TPU the natural inversion shards
@@ -177,10 +179,19 @@ def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
     shard_args, intersect_local = make_sharded_intersector(cs, mesh,
                                                            use_bvh=use_bvh)
     cs_rep = strip_replicated_geometry(cs)
+    if shard_textures:
+        # >HBM texture sets: the image/combined stacks shard over the mesh
+        # too; lookups mask + psum inside the bounce (texture.tables).
+        tex_shards, cs_rep = make_sharded_textures(cs_rep, mesh)
+        meta = dataclasses.replace(meta, tex_shard_axis=TILE_AXIS)
+    else:
+        tex_shards = jnp.zeros((mesh.devices.size, 1), jnp.float32)
     bg_spd_id = meta.spectral_background_spd or 0
     pool = min(pool_size, nx * ny * spp)
 
-    def shard_body(local, cs_rep, key):
+    def shard_body(local, tex_local, cs_rep, key):
+        if shard_textures:
+            cs_rep = apply_texture_shard(cs_rep, tex_local)
         intersect = partial(intersect_local, local)
         acc, nrays = wavefront.trace_pool(
             cs_rep, meta, settings, intersect, nx, ny, spp, key, pool,
@@ -193,9 +204,10 @@ def build_pool_renderer_prim_sharded(cs, meta, settings, nx: int, ny: int,
     def run(key):
         fn = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(TILE_AXIS), P(), P()), out_specs=(P(), P()),
+            in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P()),
+            out_specs=(P(), P()),
             check_vma=False)
-        return fn(shard_args, cs_rep, key)
+        return fn(shard_args, tex_shards, cs_rep, key)
 
     return run
 
@@ -225,6 +237,7 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
                        sampler_type: str = "colour",
                        context=None,
                        shard_prims: bool = False,
+                       shard_textures: bool = False,
                        warmup: bool = False) -> renderer_mod.RenderResult:
     """Whole-image render with samples sharded across the mesh (the
     wavefront pool on every device; spectral supported).
@@ -250,7 +263,8 @@ def render_distributed(scene: st.Scene, nx: int, ny: int, spp: int,
         # "geometry streaming"): the >HBM-scene mode.
         spp_eff = spp
         run = build_pool_renderer_prim_sharded(
-            cs, meta, settings, nx, ny, mesh, spp, spectral=spectral)
+            cs, meta, settings, nx, ny, mesh, spp, spectral=spectral,
+            shard_textures=shard_textures)
     else:
         spp_eff = -(-spp // n_dev) * n_dev
         run = build_pool_renderer(cs, meta, settings, intersect, nx, ny,
@@ -303,6 +317,81 @@ class PrimShards:
 jax.tree_util.register_pytree_node(
     PrimShards, lambda s: s.tree_flatten(),
     lambda aux, ch: PrimShards.tree_unflatten(aux, ch))
+
+
+class TexShards:
+    """Texture stacks split over the mesh — the >HBM-texture-set path (the
+    reference streams texture planes to workers in 64 KiB chunks so every
+    worker holds them all, assetprovider.go:122-198 + worker/setup.go:48-95;
+    on TPU the natural inversion shards the image/combined stacks over the
+    device axis and merges lookups with one psum per evaluation —
+    texture.tables.eval_rgb sharded mode). Leading axis: n_dev."""
+
+    def __init__(self, images, combined, img_base, combo_base):
+        # Leading axes are n_dev*rows concatenations (shard_map splits the
+        # leading axis in equal chunks without squeezing, so stacking would
+        # leave a size-1 axis in the shard body).
+        self.images = images        # (n_dev*I_s, H, W, 3)
+        self.combined = combined    # (n_dev*C_s, h, w, 8)
+        self.img_base = img_base    # (n_dev,) i32 global start of slice
+        self.combo_base = combo_base
+
+    def tree_flatten(self):
+        return ((self.images, self.combined, self.img_base,
+                 self.combo_base), None)
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TexShards, lambda s: s.tree_flatten(),
+    lambda aux, ch: TexShards.tree_unflatten(aux, ch))
+
+
+def make_sharded_textures(cs, mesh: Mesh):
+    """Split cs.textures' image + combined stacks into n_dev contiguous
+    index ranges (padded to equal size). Returns (tex_shards, cs_rep) where
+    cs_rep's stacks are 1-row dummies; inside a shard_map body, install the
+    local slice with `apply_texture_shard` and set meta.tex_shard_axis so
+    the evaluators mask + psum. Metadata tables (per-texture w/h) stay
+    replicated — bytes, not megabytes."""
+    tex = cs.textures
+    images = np.asarray(tex.images)
+    combined = np.asarray(tex.combined)
+    n_dev = mesh.devices.size
+
+    def split(stack, min_rows):
+        n = max(stack.shape[0], 1)
+        per = max(-(-n // n_dev), min_rows)
+        pad = n_dev * per - stack.shape[0]
+        if pad:
+            stack = np.pad(stack,
+                           [(0, pad)] + [(0, 0)] * (stack.ndim - 1))
+        base = np.arange(n_dev, dtype=np.int32) * per
+        return jnp.asarray(stack), jnp.asarray(base)
+
+    img_s, img_base = split(images, 1)
+    com_s, com_base = split(combined, 1) if combined.shape[0] else (
+        jnp.zeros((n_dev * 0,) + combined.shape[1:], jnp.float32),
+        jnp.zeros((n_dev,), jnp.int32))
+    shards = TexShards(images=img_s, combined=com_s, img_base=img_base,
+                       combo_base=com_base)
+    cs_rep = cs._replace(textures=tex._replace(
+        images=jnp.zeros((1, 1, 1, 3), jnp.float32),
+        combined=jnp.zeros((0, 1, 1, 8), jnp.float32)))
+    return shards, cs_rep
+
+
+def apply_texture_shard(cs_rep, local: TexShards):
+    """Install one device's texture slice into the replicated scene (call
+    inside the shard_map body; `local` arrives with the leading n_dev axis
+    already consumed by in_specs=P(TILE_AXIS))."""
+    return cs_rep._replace(textures=cs_rep.textures._replace(
+        images=local.images, combined=local.combined,
+        img_base=local.img_base.reshape(()),
+        combo_base=local.combo_base.reshape(())))
 
 
 def make_sharded_intersector(cs, mesh: Mesh, use_bvh: Optional[bool] = None,

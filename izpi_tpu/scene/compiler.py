@@ -83,6 +83,9 @@ class SceneMeta:
     # Assets replaced by procedural placeholders at load (scene.pbtxt),
     # surfaced in render output so substituted renders are unmistakable.
     placeholder_assets: tuple = ()
+    # Mesh axis name when the texture stacks are sharded over devices
+    # (parallel.dist.make_sharded_textures); None = replicated textures.
+    tex_shard_axis: object = None
 
 
 @dataclasses.dataclass

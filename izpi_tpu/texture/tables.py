@@ -41,23 +41,33 @@ class Textures(NamedTuple):
     combined: jax.Array  # (Ic, maxH, maxW, 8) f32
     combo_w: jax.Array   # (Ic,) int32
     combo_h: jax.Array   # (Ic,) int32
+    # Texture-sharded mode (>HBM texture sets, parallel.dist): `images` /
+    # `combined` hold only this shard's slice of the stacks and these give
+    # the slice's global starting index. None (the default) = replicated
+    # stacks — the bases are compiled out. The metadata tables (img_w/h,
+    # combo_w/h) stay replicated everywhere: they are bytes per texture,
+    # not megabytes.
+    img_base: object = None    # () int32 or None
+    combo_base: object = None  # () int32 or None
 
 
-def image_lookup(images, img_w, img_h, img_id, u, v):
+def image_lookup(images, img_w, img_h, img_id, u, v, local_id=None):
     """Nearest-neighbor with V flip, exactly the reference's index math
-    (texture/image.go:73-101): i=int(u·W), j=int((1-v)·(H-0.001)), clamped."""
+    (texture/image.go:73-101): i=int(u·W), j=int((1-v)·(H-0.001)), clamped.
+    local_id (sharded mode): index into the local `images` slice, while
+    img_id still indexes the replicated w/h metadata tables."""
     w = img_w[img_id].astype(jnp.float32)
     h = img_h[img_id].astype(jnp.float32)
     i = (u * w).astype(jnp.int32)
     j = ((1.0 - v) * (h - 0.001)).astype(jnp.int32)
     i = jnp.clip(i, 0, jnp.maximum(img_w[img_id] - 1, 0))
     j = jnp.clip(j, 0, jnp.maximum(img_h[img_id] - 1, 0))
-    return images[img_id, j, i]
+    return images[img_id if local_id is None else local_id, j, i]
 
 
 def eval_rgb(tex: Textures, tex_id, u, v, p,
              has_checker: bool = True, has_image: bool = True,
-             has_noise: bool = True):
+             has_noise: bool = True, shard_axis: str = None):
     """Evaluate RGB textures for a ray batch.
 
     tex_id: (N,) int32 (>=0); u, v: (N,); p: (N,3). Returns (N,3).
@@ -85,8 +95,23 @@ def eval_rgb(tex: Textures, tex_id, u, v, p,
         out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
 
     if has_image:
-        img = image_lookup(tex.images, tex.img_w, tex.img_h,
-                           jnp.maximum(tex.img_id[tid], 0), u, v)
+        gid = jnp.maximum(tex.img_id[tid], 0)
+        if shard_axis is None:
+            img = image_lookup(tex.images, tex.img_w, tex.img_h, gid, u, v)
+        else:
+            # Sharded stack: each shard resolves the ids it owns, everyone
+            # else contributes zero, one psum merges — the TPU answer to
+            # the reference's per-worker 64 KiB texture streaming
+            # (assetprovider.go:122-198): the set never has to fit on one
+            # chip. Only the image-branch tensor reduces; constant/checker/
+            # noise values are computed replicated and selected after.
+            local = gid - tex.img_base
+            n_loc = tex.images.shape[0]
+            owned = (local >= 0) & (local < n_loc)
+            img = image_lookup(tex.images, tex.img_w, tex.img_h, gid, u, v,
+                               local_id=jnp.clip(local, 0, n_loc - 1))
+            img = jax.lax.psum(jnp.where(owned[..., None], img, 0.0),
+                               shard_axis)
         out = jnp.where((kind == TEX_IMAGE)[..., None], img, out)
 
     if has_noise:

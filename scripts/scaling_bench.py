@@ -79,29 +79,57 @@ def main():
     base_spp = int(os.environ.get("IZPI_SCALING_SPP", "1000"))
     ctx = renderer.RenderContext(cornell_box(aspect=1.0))
 
-    def timed(spp):
+    # Per-shard timing = DEVICE completion only (block_until_ready). The
+    # canvas host fetch is timed separately and charged ONCE per frame in
+    # the projection: on a real N-chip cluster every chip's dispatch runs
+    # concurrently in its own host process and the psum'd canvas leaves the
+    # device once — while on this measurement setup the canvas crosses the
+    # axon TUNNEL (~0.1 s for the 3 MB at 500²), which round 3 charged to
+    # every shard, self-sabotaging the strong projection at small shares
+    # (0.43 "efficiency" that was really 8 tunnel transfers; the kernel
+    # itself scales at 0.89, scripts/experiments/r5_scaling_probe.py).
+    import jax as _jax
+    import numpy as _np
+
+    def timed(spp, reps=3):
         kw = dict(settings=settings, seed=0, context=ctx)
-        renderer.render(None, base_nx, base_nx, spp, **kw)
+        out = ctx.mega_runner(base_nx, base_nx, spp, settings)(
+            renderer.rng.render_key(0), 0) if ctx.mega_supported() else None
+        if out is None:
+            renderer.render(None, base_nx, base_nx, spp, **kw)
+            t0 = time_mod.perf_counter()
+            renderer.render(None, base_nx, base_nx, spp, **kw)
+            return time_mod.perf_counter() - t0, 0.0
+        _jax.block_until_ready(out)
+        run = ctx.mega_runner(base_nx, base_nx, spp, settings)
         t0 = time_mod.perf_counter()
-        renderer.render(None, base_nx, base_nx, spp, **kw)
-        return time_mod.perf_counter() - t0
+        for _ in range(reps):
+            out = run(renderer.rng.render_key(0), 0)
+        _jax.block_until_ready(out)
+        t_sync = (time_mod.perf_counter() - t0) / reps
+        t0 = time_mod.perf_counter()
+        _np.asarray(out[0])
+        t_fetch = time_mod.perf_counter() - t0
+        return t_sync, t_fetch
 
     t_full = None
     projected = {}
     projected_weak = {}
     shards = {}
     if run_projection:
-        t_full = timed(base_spp)
+        t_full, t_fetch = timed(base_spp)
         for n in (2, 4, 8):
-            # strong: each device renders spp/n of the SAME frame
-            t_shard = timed(-(-base_spp // n))
-            projected[str(n)] = round(t_full / (n * t_shard), 4)
+            # strong: each device renders spp/n of the SAME frame; one
+            # canvas fetch per frame on both sides of the ratio.
+            t_shard, _ = timed(-(-base_spp // n))
+            projected[str(n)] = round(
+                (t_full + t_fetch) / (n * t_shard + t_fetch), 4)
             shards[str(n)] = round(t_shard, 3)
         for n in (2, 8):
             # weak: each device keeps the FULL base workload; N-chip wall
             # ≈ T(base) + collectives, so the per-chip term of weak
             # efficiency is n·T(base)/T(n·base) — flat per-sample cost ⇒ 1.
-            t_big = timed(base_spp * n)
+            t_big, _ = timed(base_spp * n, reps=1)
             projected_weak[str(n)] = round(n * t_full / t_big, 4)
 
     # Merge with an existing artifact so the CPU-mesh run and the
@@ -132,6 +160,9 @@ def main():
         "projection_full_seconds": (round(t_full, 3) if t_full is not None
                                     else prior.get(
                                         "projection_full_seconds")),
+        "projection_fetch_seconds": (round(t_fetch, 3)
+                                     if t_full is not None else prior.get(
+                                         "projection_fetch_seconds")),
         "projection_shard_seconds": shards or prior.get(
             "projection_shard_seconds", {}),
         "projected_efficiency_strong_1_to_N": projected or prior.get(
