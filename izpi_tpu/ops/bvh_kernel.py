@@ -34,6 +34,7 @@ intersect_brute and the jnp traversal (tests/test_bvh_kernel.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -673,6 +674,49 @@ def extract_treelets(bvh: bvh_build.BVH4Arrays, target: int = 48):
     return (np.asarray(boxes, np.float32), np.asarray(nodes, np.int32), bvh)
 
 
+def build_supers(boxes, nodes, group: int = 16):
+    """Two-level treelet hierarchy for the itinerary scheduler: treelets
+    are Morton-ordered by center and grouped `group`-at-a-time into supers.
+    Returns (boxes_padded (S*group, 6), nodes_padded (S*group,),
+    super_boxes (S, 6), subtable (S, group*6)) with always-miss pad boxes
+    (lo=+fmax, hi=-fmax -> entry inf, never scheduled)."""
+    boxes = np.asarray(boxes, np.float32)
+    nodes = np.asarray(nodes, np.int32)
+    t = boxes.shape[0]
+    cent = (boxes[:, 0:3] + boxes[:, 3:6]) * 0.5
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-9)
+    cell = np.clip(((cent - lo) / span * 32).astype(np.int64), 0, 31)
+
+    def spread(v):
+        v = (v | (v << 10)) & 0x30000FF
+        v = (v | (v << 4)) & 0x30C30C3
+        return (v | (v << 2)) & 0x9249249
+
+    code = (spread(cell[:, 0]) | (spread(cell[:, 1]) << 1)
+            | (spread(cell[:, 2]) << 2))
+    order = np.argsort(code, kind="stable")
+    boxes = boxes[order]
+    nodes = nodes[order]
+
+    s = -(-t // group)
+    pad = s * group - t
+    f32max = np.float32(np.finfo(np.float32).max)
+    if pad:
+        miss = np.concatenate([np.full((pad, 3), f32max, np.float32),
+                               np.full((pad, 3), -f32max, np.float32)],
+                              axis=1)
+        boxes = np.concatenate([boxes, miss])
+        nodes = np.concatenate([nodes, np.zeros(pad, np.int32)])
+    groups = boxes.reshape(s, group, 6)
+    real = groups[:, :, 0] < f32max     # (s, group) pad detector
+    glo = np.where(real[..., None], groups[:, :, 0:3], f32max)
+    ghi = np.where(real[..., None], groups[:, :, 3:6], -f32max)
+    super_boxes = np.concatenate([glo.min(axis=1), ghi.max(axis=1)], axis=1)
+    subtable = groups.reshape(s, group * 6)
+    return boxes, nodes, super_boxes.astype(np.float32), subtable
+
+
 class BVHKernelIntersector:
     """IntersectFn backed by the Pallas traversal kernel.
 
@@ -684,7 +728,8 @@ class BVHKernelIntersector:
     def __init__(self, cs, ks: KernelScene, scene_lo, scene_hi,
                  sort: bool = True, interpret: bool | None = None,
                  treelets=None, treelet_nodes=None, two_pass: bool = False,
-                 rebin: bool = False, rounds: int = 2):
+                 rebin: bool = False, rounds: int = 2,
+                 super_boxes=None, subtable=None, itin: bool = False):
         self.cs = cs
         self.ks = ks
         self.lo = jnp.asarray(scene_lo, jnp.float32)
@@ -701,6 +746,11 @@ class BVHKernelIntersector:
         self.two_pass = two_pass
         self.rebin = rebin
         self.rounds = rounds
+        self.super_boxes = (jnp.asarray(super_boxes, jnp.float32)
+                            if super_boxes is not None else None)
+        self.subtable = (jnp.asarray(subtable, jnp.float32)
+                         if subtable is not None else None)
+        self.itin = itin
         self._fns = {}
 
     def _fn(self, n):
@@ -709,6 +759,168 @@ class BVHKernelIntersector:
             fn = build_traverse_fn(self.ks, n, interpret=self.interpret)
             self._fns[n] = fn
         return fn
+
+    def _itinerary_traverse(self, fn, o, d, time, t_min, t_max, n):
+        """Round-5 scheduler (v5): precomputed per-ray candidate itineraries
+        over a 2-level treelet hierarchy + exact root-walk cleanup.
+
+        The v2 re-binning scheme spent 6:1 on its own bookkeeping: a masked
+        argmin over an (n, T) matrix EVERY round (~33 ms at T=512) plus
+        per-round per-field ray gathers. The round-5 primitive measurements
+        (scripts/experiments/r5_*: argsort at 262k is ~0.06 ms — round 3's
+        "9 ms argsort" was its GATHERS — while every row gather/scatter is
+        ~5 ms, index-count bound) dictate this shape:
+
+        - ONCE per traversal: entry distances to S=T/16 super-boxes (O(nS)
+          slab math), the top-2 supers per ray, their sub-boxes fetched via
+          ONE-HOT MATMULS on the MXU (a (n,S)@(S,96) dot replaces an n-row
+          gather — the gather costs 5 ms, the matmul ~0.1), per-sub entries,
+          and the rounds+1 nearest candidates via a packed
+          (entry-bits | treelet-id) sort along 32.
+        - Per ROUND r: the candidate is just column r (no argmin); one
+          argsort (free) + ONE packed row gather moves rays, results and
+          remaining candidates together; tiles push the DISTINCT treelet
+          ids of their (sorted) rays as multi-roots — read off key
+          boundaries, no (n, T) masks.
+        - Exactness: candidates are sorted by a CONSERVATIVE entry bound
+          (mantissa low bits truncated toward zero), so "entry >= best_t"
+          skips are safe; a ray is residual iff the (rounds+1)-th candidate
+          entry, the 3rd-nearest super entry, or a tile root-overflow says
+          an unserved treelet could still beat best_t — residuals take an
+          exact root-walk cleanup pass with per-lane t-caps.
+
+        Reference semantics preserved: tMax-shrink traversal
+        (bvh4.go:49-163) via the per-lane t-cap windows."""
+        tile = TS * 128
+        n_grid = -(-n // tile)
+        n_pad = n_grid * tile
+        S = self.super_boxes.shape[0]
+        G = 16
+        Tp = S * G
+        rounds = self.rounds
+        assert Tp < 2048, "candidate keys pack the treelet id into 11 bits"
+        u32 = jnp.uint32
+
+        # ---- schedule once ----
+        e_sup = treelet_entries(o, d, self.super_boxes)        # (n, S)
+        iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+        a1 = jnp.argmin(e_sup, axis=1).astype(jnp.int32)
+        masked = jnp.where(iota_s == a1[:, None], jnp.inf, e_sup)
+        a2 = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        sup3_min = jnp.min(
+            jnp.where(iota_s == a2[:, None], jnp.inf, masked), axis=1)
+
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+        def sub_entries(a):
+            onehot = (iota_s == a[:, None]).astype(jnp.float32)
+            flat = jnp.dot(onehot, self.subtable,
+                           preferred_element_type=jnp.float32)  # (n, G*6)
+            b = flat.reshape(n, G, 6)
+            t0 = (b[..., 0:3] - o[:, None, :]) * inv[:, None, :]
+            t1 = (b[..., 3:6] - o[:, None, :]) * inv[:, None, :]
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            hit = tf > jnp.maximum(tn, 0.0)
+            return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+
+        iota_g = jnp.arange(G, dtype=jnp.int32)[None, :]
+        e32 = jnp.concatenate([sub_entries(a1), sub_entries(a2)], axis=1)
+        ids32 = jnp.concatenate(
+            [a1[:, None] * G + iota_g, a2[:, None] * G + iota_g], axis=1)
+        # entries are >= 0 (or +inf), so their bit patterns order correctly
+        # as u32; the low 11 mantissa bits carry the treelet id. Decoded
+        # entries round DOWN -> conservative for both skip and residual.
+        ebits = jax.lax.bitcast_convert_type(e32, u32)
+        cand = jnp.sort((ebits & jnp.uint32(~jnp.uint32(0x7FF)))
+                        | ids32.astype(u32), axis=1)[:, :rounds + 1]
+
+        f32bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bits32 = lambda x: jax.lax.bitcast_convert_type(x, u32)
+
+        # ---- packed ray rows: ONE gather per reorder moves everything ----
+        # cols 0:3 o | 3:6 d | 6 tm | 7 best_t | 8 best_raw | 9 sup3 |
+        # 10 residual | 11 gid | 12:12+rounds+1 candidate keys (bitcast)
+        packed = jnp.concatenate([
+            o, d, time[:, None],
+            jnp.full((n, 1), prim.T_MAX, jnp.float32),
+            jnp.full((n, 1), -1.0, jnp.float32),
+            sup3_min[:, None],
+            jnp.zeros((n, 1), jnp.float32),
+            jnp.arange(n, dtype=jnp.float32)[:, None],
+            f32bits(cand),
+        ], axis=1)
+
+        def unpack(pk):
+            return (pk[:, 0:3], pk[:, 3:6], pk[:, 6], pk[:, 7],
+                    pk[:, 8].astype(jnp.int32))
+
+        big = jnp.uint32(0xFFFFFFFF)
+        for r in range(rounds + 1):
+            o_c, d_c, tm_c, best_t, best_raw = unpack(packed)
+            cleanup = r == rounds
+            if cleanup:
+                # residual = an unserved candidate, a 3rd-nearest super, or
+                # an overflowed tile could still beat best_t.
+                ent_next = f32bits(bits32(packed[:, 12 + rounds])
+                                   & jnp.uint32(~jnp.uint32(0x7FF)))
+                residual = ((ent_next < best_t)
+                            | (packed[:, 9] < best_t)
+                            | (packed[:, 10] > 0.0))
+                pending = residual
+                tkey = jnp.where(residual, 0, 1).astype(jnp.int32)
+            else:
+                keyu = bits32(packed[:, 12 + r])
+                ent_r = f32bits(keyu & jnp.uint32(~jnp.uint32(0x7FF)))
+                id_r = (keyu & jnp.uint32(0x7FF)).astype(jnp.int32)
+                pending = (ent_r < best_t) & (id_r < Tp)
+                tkey = jnp.where(pending, id_r, Tp)
+            morton = sort_keys(o_c, d_c, self.lo, self.hi)
+            order = jnp.argsort((tkey.astype(u32) << 20)
+                                | (morton.astype(u32) >> 4))
+            packed = packed[order]
+            o_c, d_c, tm_c, best_t, best_raw = unpack(packed)
+            pending = pending[order]
+
+            if cleanup:
+                starts = None
+            else:
+                # distinct treelet ids per tile -> multi-root starts
+                tkey_s = tkey[order]
+                km = jnp.pad(tkey_s, (0, n_pad - n), constant_values=Tp)
+                km = km.reshape(n_grid, tile)
+                changed = jnp.concatenate(
+                    [jnp.ones((n_grid, 1), bool), km[:, 1:] != km[:, :-1]],
+                    axis=1) & (km < Tp)
+                vals = jnp.where(changed, km.astype(u32), big)
+                sv = jnp.sort(vals, axis=1)[:, :MULTI_K]
+                starts = jnp.where(
+                    sv < big,
+                    self.treelet_nodes[jnp.minimum(
+                        sv.astype(jnp.int32), Tp)], -1)
+                over = jnp.sum(changed, axis=1) > MULTI_K    # (n_grid,)
+                ray_tile = jnp.minimum(
+                    jnp.arange(n, dtype=jnp.int32) // tile, n_grid - 1)
+                packed = packed.at[:, 10].set(
+                    jnp.maximum(packed[:, 10],
+                                over[ray_tile].astype(jnp.float32)))
+
+            tcap = jnp.where(pending, best_t, t_min)
+            t_r, i_r = fn(o_c, d_c, tm_c, t_min, t_max,
+                          starts=starts, tcap=tcap, raw_idx=True)
+            improved = (i_r >= 0) & (t_r < best_t)
+            packed = packed.at[:, 7].set(
+                jnp.where(improved, t_r, best_t))
+            packed = packed.at[:, 8].set(
+                jnp.where(improved, i_r.astype(jnp.float32), packed[:, 8]))
+
+        gid = packed[:, 11].astype(jnp.int32)
+        res = jnp.zeros((n, 2), jnp.float32).at[gid].set(packed[:, 7:9])
+        best_t = res[:, 0]
+        best_raw = res[:, 1].astype(jnp.int32)
+        idx = jnp.where(best_raw >= 0,
+                        self.ks.blockmap[jnp.maximum(best_raw, 0)], -1)
+        return best_t, idx
 
     def _rebin_traverse(self, fn, o, d, time, t_min, t_max, n):
         """Multi-round treelet-re-binned traversal — the incoherent-ray fast
@@ -830,6 +1042,11 @@ class BVHKernelIntersector:
     def __call__(self, o, d, time, t_min, t_max):
         n = o.shape[0]
         fn = self._fn(n)
+        if (self.itin and n >= 2048 and self.super_boxes is not None):
+            t, idx = self._itinerary_traverse(fn, o, d, time, t_min, t_max,
+                                              n)
+            hit = idx >= 0
+            return prim.finalize_hit(self.cs.prims, o, d, time, t, idx, hit)
         if (self.rebin and n >= 2048 and self.treelets is not None
                 and self.treelets.shape[0] > 1):
             t, idx = self._rebin_traverse(fn, o, d, time, t_min, t_max, n)
@@ -916,6 +1133,14 @@ def attach(cs, seed: int = 1, sort: bool = True,
     # frontier leaf slots), so it runs before pack_scene. Validation ran on
     # the unextended tree — synthetic nodes deliberately double-cover prims.
     boxes, nodes, arrays = extract_treelets(arrays, target=treelet_target)
+    # Scheduler choice for dragon-class trees: "itin" (round-5 precomputed
+    # itineraries over the 2-level hierarchy, the default) or "v2" (the
+    # round-4 masked-argmin re-binning, kept for A/B).
+    sched = os.environ.get("IZPI_DRAGON_SCHED", "itin")
+    itin = rebin and sched != "v2" and boxes.shape[0] > 16
+    super_boxes = subtable = None
+    if itin:
+        boxes, nodes, super_boxes, subtable = build_supers(boxes, nodes)
     idx = np.asarray(arrays.prim_order)
     host_reordered = prim.Prims(*[np.asarray(f)[idx] for f in host_prims])
     ks = pack_scene(host_reordered, arrays)
@@ -926,5 +1151,6 @@ def attach(cs, seed: int = 1, sort: bool = True,
         cs2, ks, bb_min.min(axis=0), bb_max.max(axis=0),
         sort=sort, interpret=interpret,
         treelets=boxes, treelet_nodes=nodes, two_pass=two_pass,
-        rebin=rebin, rounds=rounds)
+        rebin=rebin and not itin, rounds=rounds,
+        super_boxes=super_boxes, subtable=subtable, itin=itin)
     return cs2, inter

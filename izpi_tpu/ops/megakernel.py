@@ -249,20 +249,26 @@ def _rect_test(pr, o, d, t_min, t_max):
     return t, ok, n
 
 
-def _sphere_test(pr, o, d, time, t_min, t_max):
-    """Quadratic + reference root/normal quirks (primitives.sphere_t +
-    finalize_hit: record normal unflipped on the far root)."""
-    radius = pr["g2"][0]
+def _sphere_center(pr, time):
     c0 = _c(pr["g0"])
     if pr["g0"] == pr["g1"]:
-        center = c0
-    else:
-        st0, st1 = pr["g2"][1], pr["g2"][2]
-        denom = st1 - st0
-        frac = (time - st0) * (1.0 / denom if denom != 0.0 else 0.0)
-        if denom == 0.0:
-            frac = jnp.zeros_like(time)
-        center = _add(c0, _scale(_sub(_c(pr["g1"]), c0), frac))
+        return c0
+    st0, st1 = pr["g2"][1], pr["g2"][2]
+    denom = st1 - st0
+    frac = (time - st0) * (1.0 / denom if denom != 0.0 else 0.0)
+    if denom == 0.0:
+        frac = jnp.zeros_like(time)
+    return _add(c0, _scale(_sub(_c(pr["g1"]), c0), frac))
+
+
+def _sphere_test_t(pr, o, d, time, t_min, t_max):
+    """Quadratic root test only — the normal is DEFERRED to the post-scan
+    epilogue (_scan_prims carries the winner's center instead): the
+    p/outward/flip chain is ~23 of the ~48 VPU ops per sphere and only the
+    winning primitive's normal is ever used. Returns (t, ok, far_ok,
+    center)."""
+    radius = pr["g2"][0]
+    center = _sphere_center(pr, time)
     oc = _sub(o, center)
     a = _dot(d, d)
     b = _dot(oc, d)
@@ -277,6 +283,14 @@ def _sphere_test(pr, o, d, time, t_min, t_max):
     far_ok = has & (t_far < t_max) & (t_far > t_min) & ~near_ok
     t = jnp.where(near_ok, t_near, t_far)
     ok = near_ok | far_ok
+    return t, ok, far_ok, center
+
+
+def _sphere_test(pr, o, d, time, t_min, t_max):
+    """Quadratic + reference root/normal quirks (primitives.sphere_t +
+    finalize_hit: record normal unflipped on the far root)."""
+    t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min, t_max)
+    radius = pr["g2"][0]
     p = _add(o, _scale(d, t))
     inv_r = 1.0 / radius if radius != 0.0 else 1.0
     outward = _scale(_sub(p, center), jnp.float32(inv_r))
@@ -347,9 +361,13 @@ def build_clusters(prims, cam_origin, csize: int = 16):
 
 def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
     """Unrolled closest-hit update over `prims` against the running carry
-    (best_t f32, hit i32, nx, ny, nz f32, mat i32) — i32 hit because Mosaic
-    cannot legalize vector<i1> through scf.if/while yields."""
-    best_t, hit_i, nx, ny, nz, mat_idx = carry
+    (best_t f32, hit i32, nx, ny, nz f32, mat i32, rr f32, code i32) — i32
+    hit because Mosaic cannot legalize vector<i1> through scf.if/while
+    yields. Sphere winners carry their CENTER in the normal slots plus a
+    signed-code/radius pair; the actual normal (p, outward, far-root and
+    flip quirks) is resolved once post-scan (_resolve_deferred_normals) —
+    ~23 VPU ops saved per sphere per lane in the hot scan."""
+    best_t, hit_i, nx, ny, nz, mat_idx, rr, code = carry
     n = (nx, ny, nz)
     for pr in prims:
         if pr["kind"] == 0:
@@ -357,7 +375,20 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
         elif pr["kind"] == 1:
             t, ok, nn = _rect_test(pr, o, d, t_min, best_t)
         elif pr["kind"] == 2:
-            t, ok, nn = _sphere_test(pr, o, d, time, t_min, best_t)
+            t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min,
+                                                   best_t)
+            better = ok & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            hit_i = jnp.where(better, 1, hit_i)
+            n = _sel(better, center, n)
+            radius = pr["g2"][0]
+            inv_r = 1.0 / radius if radius != 0.0 else 1.0
+            rr = jnp.where(better, jnp.float32(inv_r), rr)
+            pcode = 1 + far_ok.astype(jnp.int32) + (2 if pr["flip"] else 0)
+            code = jnp.where(better, pcode, code)
+            if want_mat:
+                mat_idx = jnp.where(better, pr["mat"], mat_idx)
+            continue
         else:
             continue
         if pr["flip"]:
@@ -366,9 +397,10 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
         best_t = jnp.where(better, t, best_t)
         hit_i = jnp.where(better, 1, hit_i)
         n = _sel(better, nn, n)
+        code = jnp.where(better, 0, code)
         if want_mat:
             mat_idx = jnp.where(better, pr["mat"], mat_idx)
-    return (best_t, hit_i, n[0], n[1], n[2], mat_idx)
+    return (best_t, hit_i, n[0], n[1], n[2], mat_idx, rr, code)
 
 
 # Cluster-skipping gate. MEASURED NEGATIVE at shirley scale (256²@128 on
@@ -397,7 +429,9 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
              jnp.zeros(shape, jnp.int32),
              jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
              jnp.zeros(shape, jnp.float32),
-             jnp.full(shape, -1, jnp.int32))
+             jnp.full(shape, -1, jnp.int32),
+             jnp.ones(shape, jnp.float32),
+             jnp.zeros(shape, jnp.int32))
     if clusters is None:
         carry = _scan_prims(prims, o, d, time, t_min, carry, want_mat)
     else:
@@ -418,9 +452,23 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
                                                  carry=c, want_mat=want_mat),
                 lambda c: c,
                 carry)
-    best_t, hit_i, nx, ny, nz, mat_idx = carry
+    best_t, hit_i, nx, ny, nz, mat_idx, rr, code = carry
     p = _add(o, _scale(d, best_t))
-    return dict(t=best_t, hit=hit_i != 0, n=(nx, ny, nz), p=p, mat=mat_idx)
+    # Resolve deferred sphere normals: code 0 = literal normal in n; else
+    # n holds the winner's center and code packs (far_root, flip).
+    n = (nx, ny, nz)
+    is_sph = code > 0
+    if any(pr["kind"] == 2 for pr in prims):
+        codem = code - 1
+        far = (codem & 1) == 1
+        flip = (codem & 2) != 0
+        outward = _scale(_sub(p, n), rr)
+        flip_n = _dot(d, outward) >= 0.0
+        flipped = _sel(flip_n, _scale(outward, -1.0), outward)
+        n_sph = _sel(far, outward, flipped)
+        n_sph = _sel(flip, _scale(n_sph, -1.0), n_sph)
+        n = _sel(is_sph, n_sph, n)
+    return dict(t=best_t, hit=hit_i != 0, n=n, p=p, mat=mat_idx)
 
 
 # --------------------------------------------------------------------------

@@ -145,3 +145,24 @@ def test_two_pass_matches_single_pass():
     h = np.asarray(a.hit)
     np.testing.assert_allclose(np.asarray(a.t)[h], np.asarray(b.t)[h],
                                rtol=1e-6)
+
+
+def test_itinerary_scheduler_matches_brute():
+    """The round-5 itinerary scheduler (precomputed 2-level-hierarchy
+    candidates + exact root-walk cleanup) is exact vs brute force on both
+    coherent and interior incoherent rays."""
+    scene = _random_tri_scene(3000, seed=41)
+    cs, _ = compile_scene(scene)
+    cs2, inter = bvh_kernel.attach(cs, seed=1, interpret=True, rebin=True,
+                                   rounds=3, treelet_target=64)
+    assert inter.itin, "expected the itinerary scheduler to engage"
+    o, d, time = _rays_at(cs2, 4096, seed=19)
+    got = inter(o, d, time, 1e-3, prim.T_MAX)
+    want = prim.intersect_brute(cs2.prims, o, d, time, 1e-3, prim.T_MAX)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    assert h.any()
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.prim_idx)[h],
+                                  np.asarray(want.prim_idx)[h])
