@@ -701,17 +701,21 @@ def build_supers(boxes, nodes, group: int = 16):
 
     s = -(-t // group)
     pad = s * group - t
-    f32max = np.float32(np.finfo(np.float32).max)
+    # Pad sentinel must stay FINITE in bf16: the sub-box table rides an MXU
+    # matmul whose bf16 passes turn float32-max into inf, and 0*inf = NaN
+    # poisons the whole one-hot contraction (measured: 94% NaN rows on the
+    # chip). 1e30 is bf16-exact huge and still always-miss (lo > hi).
+    bigf = np.float32(1e30)
     if pad:
-        miss = np.concatenate([np.full((pad, 3), f32max, np.float32),
-                               np.full((pad, 3), -f32max, np.float32)],
+        miss = np.concatenate([np.full((pad, 3), bigf, np.float32),
+                               np.full((pad, 3), -bigf, np.float32)],
                               axis=1)
         boxes = np.concatenate([boxes, miss])
         nodes = np.concatenate([nodes, np.zeros(pad, np.int32)])
     groups = boxes.reshape(s, group, 6)
-    real = groups[:, :, 0] < f32max     # (s, group) pad detector
-    glo = np.where(real[..., None], groups[:, :, 0:3], f32max)
-    ghi = np.where(real[..., None], groups[:, :, 3:6], -f32max)
+    real = groups[:, :, 0] < bigf       # (s, group) pad detector
+    glo = np.where(real[..., None], groups[:, :, 0:3], bigf)
+    ghi = np.where(real[..., None], groups[:, :, 3:6], -bigf)
     super_boxes = np.concatenate([glo.min(axis=1), ghi.max(axis=1)], axis=1)
     subtable = groups.reshape(s, group * 6)
     return boxes, nodes, super_boxes.astype(np.float32), subtable
@@ -814,7 +818,12 @@ class BVHKernelIntersector:
 
         def sub_entries(a):
             onehot = (iota_s == a[:, None]).astype(jnp.float32)
+            # HIGHEST: the default bf16 passes would round the f32 box
+            # coordinates, breaking the conservative-entry guarantee the
+            # skip/residual logic is built on (and the pad sentinel must be
+            # bf16-finite, see build_supers).
             flat = jnp.dot(onehot, self.subtable,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)  # (n, G*6)
             b = flat.reshape(n, G, 6)
             t0 = (b[..., 0:3] - o[:, None, :]) * inv[:, None, :]

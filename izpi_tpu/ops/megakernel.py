@@ -261,24 +261,29 @@ def _sphere_center(pr, time):
     return _add(c0, _scale(_sub(_c(pr["g1"]), c0), frac))
 
 
-def _sphere_test_t(pr, o, d, time, t_min, t_max):
+def _sphere_test_t(pr, o, d, time, t_min, t_max, aa=None):
     """Quadratic root test only — the normal is DEFERRED to the post-scan
     epilogue (_scan_prims carries the winner's center instead): the
     p/outward/flip chain is ~23 of the ~48 VPU ops per sphere and only the
-    winning primitive's normal is ever used. Returns (t, ok, far_ok,
-    center)."""
+    winning primitive's normal is ever used. aa: optional hoisted
+    (d·d, 1/max(d·d,eps)-style safe reciprocal) pair shared across the
+    scan — d is loop-invariant, so these are per-bounce not per-prim.
+    Returns (t, ok, far_ok, center)."""
     radius = pr["g2"][0]
     center = _sphere_center(pr, time)
     oc = _sub(o, center)
-    a = _dot(d, d)
+    if aa is None:
+        a = _dot(d, d)
+        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
+    else:
+        a, inv_a = aa
     b = _dot(oc, d)
     cq = _dot(oc, oc) - radius * radius
     disc = b * b - a * cq
     has = disc > 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    a_safe = jnp.where(a == 0.0, 1.0, a)
-    t_near = (-b - sq) / a_safe
-    t_far = (-b + sq) / a_safe
+    t_near = (-b - sq) * inv_a
+    t_far = (-b + sq) * inv_a
     near_ok = has & (t_near < t_max) & (t_near > t_min)
     far_ok = has & (t_far < t_max) & (t_far > t_min) & ~near_ok
     t = jnp.where(near_ok, t_near, t_far)
@@ -369,6 +374,8 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
     ~23 VPU ops saved per sphere per lane in the hot scan."""
     best_t, hit_i, nx, ny, nz, mat_idx, rr, code = carry
     n = (nx, ny, nz)
+    a_h = _dot(d, d)
+    aa = (a_h, 1.0 / jnp.where(a_h == 0.0, 1.0, a_h))
     for pr in prims:
         if pr["kind"] == 0:
             t, ok, nn = _tri_test(pr, o, d, t_min, best_t)
@@ -376,7 +383,7 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
             t, ok, nn = _rect_test(pr, o, d, t_min, best_t)
         elif pr["kind"] == 2:
             t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min,
-                                                   best_t)
+                                                    best_t, aa=aa)
             better = ok & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             hit_i = jnp.where(better, 1, hit_i)

@@ -255,9 +255,12 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
            verbose: bool = False) -> RenderResult:
     """Render a scene on the current default device.
 
-    mode: "wavefront" (persistent path pool, fastest) or "simple" (lockstep
-    batch per sample — the straightforward analog of path.trace, kept as the
-    oracle and for row-chunked very large frames).
+    mode: "wavefront" (persistent path pool; auto-upgrades to the Pallas
+    megakernel on TPU when the scene qualifies), "mega" (megakernel,
+    required), "pool" (XLA wavefront pool, megakernel upgrade disabled —
+    for engine-policy measurement), or "simple" (lockstep batch per sample
+    — the straightforward analog of path.trace, kept as the oracle and for
+    row-chunked very large frames).
     sampler_type ∈ {colour, spectral, albedo, normal, wireframe}
     (sampler/sampler.go:13-28); spectral scenes auto-upgrade colour→spectral
     like the reference (leader.go:78-81).
@@ -292,7 +295,7 @@ def render(scene: Optional[st.Scene], nx: int, ny: int, spp: int,
     if mode == "mega" and not context.mega_supported(spectral=spectral):
         raise ValueError("scene not supported by the megakernel "
                          "(media/PBR/image/noise or too many primitives)")
-    if use_mega or mode == "wavefront" or spectral:
+    if use_mega or mode in ("wavefront", "pool") or spectral:
         if pool_size is None:
             # Larger pools amortize per-iteration fixed costs (kernel-launch
             # overhead in the BVH path, pool glue everywhere); per-bounce
