@@ -840,16 +840,26 @@ class BVHKernelIntersector:
         # entries are >= 0 (or +inf), so their bit patterns order correctly
         # as u32; the low 11 mantissa bits carry the treelet id. Decoded
         # entries round DOWN -> conservative for both skip and residual.
+        # Candidate columns: `rounds` served one-per-round (pure tiles),
+        # then K_EXTRA more served together in ONE union-cleanup pass (the
+        # tile pushes the union of its rays' remaining candidate ids), and
+        # one final probe column for the residual test. Without the union
+        # pass, corridor rays (entering several treelet boxes but hitting
+        # nothing) leak to the root-walk with UNPRUNED t-caps and drag
+        # whole tiles through near-full-tree unions (~2.9 ms/tile,
+        # measured: bounce 579 ms vs v2's 254 before this pass existed).
+        K_EXTRA = 5
+        n_cand = rounds + K_EXTRA + 1
         ebits = jax.lax.bitcast_convert_type(e32, u32)
         cand = jnp.sort((ebits & jnp.uint32(~jnp.uint32(0x7FF)))
-                        | ids32.astype(u32), axis=1)[:, :rounds + 1]
+                        | ids32.astype(u32), axis=1)[:, :n_cand]
 
         f32bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bits32 = lambda x: jax.lax.bitcast_convert_type(x, u32)
 
         # ---- packed ray rows: ONE gather per reorder moves everything ----
         # cols 0:3 o | 3:6 d | 6 tm | 7 best_t | 8 best_raw | 9 sup3 |
-        # 10 residual | 11 gid | 12:12+rounds+1 candidate keys (bitcast)
+        # 10 residual | 11 gid | 12:12+n_cand candidate keys (bitcast)
         packed = jnp.concatenate([
             o, d, time[:, None],
             jnp.full((n, 1), prim.T_MAX, jnp.float32),
@@ -864,26 +874,92 @@ class BVHKernelIntersector:
             return (pk[:, 0:3], pk[:, 3:6], pk[:, 6], pk[:, 7],
                     pk[:, 8].astype(jnp.int32))
 
+        def col_ent_id(pk, c):
+            keyu = bits32(pk[:, 12 + c])
+            ent = f32bits(keyu & jnp.uint32(~jnp.uint32(0x7FF)))
+            cid = (keyu & jnp.uint32(0x7FF)).astype(jnp.int32)
+            return ent, cid
+
+        def distinct_roots(km):
+            """Per-tile distinct treelet ids (ascending rows) -> multi-root
+            starts + overflow flags. km: (n_grid, W) with dead = Tp."""
+            srt = jnp.sort(km.astype(u32), axis=1)
+            changed = jnp.concatenate(
+                [jnp.ones((n_grid, 1), bool), srt[:, 1:] != srt[:, :-1]],
+                axis=1) & (srt < Tp)
+            vals = jnp.where(changed, srt, big)
+            sv = jnp.sort(vals, axis=1)[:, :MULTI_K]
+            starts = jnp.where(
+                sv < big,
+                self.treelet_nodes[jnp.minimum(sv.astype(jnp.int32), Tp)],
+                -1)
+            over = jnp.sum(changed, axis=1) > MULTI_K
+            return starts, over
+
+        def flag_overflow(pk, over):
+            ray_tile = jnp.minimum(
+                jnp.arange(n, dtype=jnp.int32) // tile, n_grid - 1)
+            return pk.at[:, 10].set(
+                jnp.maximum(pk[:, 10], over[ray_tile].astype(jnp.float32)))
+
+        def pending_supers(pk):
+            """(n, S) bool: supers that could still beat best_t. a1/a2 are
+            excluded only when the candidate columns fully covered them
+            (probe column entry >= best_t); recomputed exactly from the
+            carried o/d — identical to the schedule-time values."""
+            o_c, d_c = pk[:, 0:3], pk[:, 3:6]
+            best_t = pk[:, 7]
+            e_s = treelet_entries(o_c, d_c, self.super_boxes)
+            b1 = jnp.argmin(e_s, axis=1).astype(jnp.int32)
+            b2 = jnp.argmin(
+                jnp.where(iota_s == b1[:, None], jnp.inf, e_s),
+                axis=1).astype(jnp.int32)
+            ent_next, _ = col_ent_id(pk, rounds + K_EXTRA)
+            is_top2 = (iota_s == b1[:, None]) | (iota_s == b2[:, None])
+            covered = is_top2 & (ent_next >= best_t)[:, None]
+            return (e_s < best_t[:, None]) & ~covered
+
         big = jnp.uint32(0xFFFFFFFF)
-        for r in range(rounds + 1):
+        sup_cap = MULTI_K // G          # supers served per tile per sweep
+        # IZPI_ITIN_PASSES: run only the first k passes (timing ablation —
+        # results are then INEXACT; never set in production).
+        n_passes = int(os.environ.get("IZPI_ITIN_PASSES", rounds + 3))
+        for r in range(n_passes):
             o_c, d_c, tm_c, best_t, best_raw = unpack(packed)
-            cleanup = r == rounds
-            if cleanup:
-                # residual = an unserved candidate, a 3rd-nearest super, or
-                # an overflowed tile could still beat best_t.
-                ent_next = f32bits(bits32(packed[:, 12 + rounds])
-                                   & jnp.uint32(~jnp.uint32(0x7FF)))
-                residual = ((ent_next < best_t)
-                            | (packed[:, 9] < best_t)
-                            | (packed[:, 10] > 0.0))
-                pending = residual
-                tkey = jnp.where(residual, 0, 1).astype(jnp.int32)
-            else:
-                keyu = bits32(packed[:, 12 + r])
-                ent_r = f32bits(keyu & jnp.uint32(~jnp.uint32(0x7FF)))
-                id_r = (keyu & jnp.uint32(0x7FF)).astype(jnp.int32)
+            phase = ("round" if r < rounds
+                     else "union" if r == rounds
+                     else "sweep" if r == rounds + 1 else "root")
+            if phase == "round":
+                ent_r, id_r = col_ent_id(packed, r)
                 pending = (ent_r < best_t) & (id_r < Tp)
                 tkey = jnp.where(pending, id_r, Tp)
+            elif phase == "union":
+                ents_ids = [col_ent_id(packed, rounds + k)
+                            for k in range(K_EXTRA)]
+                pendings = [(e < best_t) & (i < Tp) for e, i in ents_ids]
+                pending = pendings[0]
+                for pd in pendings[1:]:
+                    pending = pending | pd
+                # coherence key: the first still-pending candidate id
+                tkey = jnp.full((n,), Tp, jnp.int32)
+                for (e, i), pd in zip(reversed(ents_ids),
+                                      reversed(pendings)):
+                    tkey = jnp.where(pd, i, tkey)
+            elif phase == "sweep":
+                # Serve every remaining super: each tile pushes the union
+                # of its rays' pending supers' 16 sub-roots — a blind
+                # root-walk here measured 496 ms (miss/graze rays carry
+                # unpruned caps and drag tiles through the whole tree);
+                # confined super service costs one more sorted pass.
+                pend_sup = pending_supers(packed)
+                pending = jnp.any(pend_sup, axis=1)
+                first_sup = jnp.argmax(pend_sup, axis=1).astype(jnp.int32)
+                tkey = jnp.where(pending, first_sup, S)
+            else:
+                # absolute fallback: only rays in sweep-overflowed tiles
+                residual = packed[:, 10] > 0.0
+                pending = residual
+                tkey = jnp.where(residual, 0, 1).astype(jnp.int32)
             morton = sort_keys(o_c, d_c, self.lo, self.hi)
             order = jnp.argsort((tkey.astype(u32) << 20)
                                 | (morton.astype(u32) >> 4))
@@ -891,28 +967,40 @@ class BVHKernelIntersector:
             o_c, d_c, tm_c, best_t, best_raw = unpack(packed)
             pending = pending[order]
 
-            if cleanup:
-                starts = None
-            else:
-                # distinct treelet ids per tile -> multi-root starts
+            if phase == "round":
                 tkey_s = tkey[order]
-                km = jnp.pad(tkey_s, (0, n_pad - n), constant_values=Tp)
-                km = km.reshape(n_grid, tile)
-                changed = jnp.concatenate(
-                    [jnp.ones((n_grid, 1), bool), km[:, 1:] != km[:, :-1]],
-                    axis=1) & (km < Tp)
-                vals = jnp.where(changed, km.astype(u32), big)
-                sv = jnp.sort(vals, axis=1)[:, :MULTI_K]
+                km = jnp.pad(tkey_s, (0, n_pad - n),
+                             constant_values=Tp).reshape(n_grid, tile)
+                starts, over = distinct_roots(km)
+                packed = flag_overflow(packed, over)
+            elif phase == "union":
+                cols = []
+                for k in range(K_EXTRA):
+                    e, i = col_ent_id(packed, rounds + k)
+                    pd = (e < best_t) & (i < Tp)
+                    cols.append(jnp.where(pd, i, Tp))
+                km = jnp.pad(jnp.stack(cols, axis=1).reshape(-1),
+                             (0, (n_pad - n) * K_EXTRA),
+                             constant_values=Tp).reshape(
+                                 n_grid, tile * K_EXTRA)
+                starts, over = distinct_roots(km)
+                packed = flag_overflow(packed, over)
+            elif phase == "sweep":
+                pend_sup = pending_supers(packed)            # (n, S)
+                padded = jnp.pad(pend_sup, ((0, n_pad - n), (0, 0)))
+                tile_sup = padded.reshape(n_grid, tile, S).any(axis=1)
+                svals = jnp.where(tile_sup, iota_s.astype(u32), big)
+                ssel = jnp.sort(svals, axis=1)[:, :sup_cap]  # (n_grid, 4)
+                sub_ids = (ssel[:, :, None].astype(jnp.int32) * G
+                           + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                           ).reshape(n_grid, sup_cap * G)
                 starts = jnp.where(
-                    sv < big,
-                    self.treelet_nodes[jnp.minimum(
-                        sv.astype(jnp.int32), Tp)], -1)
-                over = jnp.sum(changed, axis=1) > MULTI_K    # (n_grid,)
-                ray_tile = jnp.minimum(
-                    jnp.arange(n, dtype=jnp.int32) // tile, n_grid - 1)
-                packed = packed.at[:, 10].set(
-                    jnp.maximum(packed[:, 10],
-                                over[ray_tile].astype(jnp.float32)))
+                    jnp.repeat(ssel < big, G, axis=1),
+                    self.treelet_nodes[jnp.clip(sub_ids, 0, Tp)], -1)
+                over = jnp.sum(tile_sup, axis=1) > sup_cap
+                packed = flag_overflow(packed, over)
+            else:
+                starts = None
 
             tcap = jnp.where(pending, best_t, t_min)
             t_r, i_r = fn(o_c, d_c, tm_c, t_min, t_max,
@@ -969,6 +1057,12 @@ class BVHKernelIntersector:
             jnp.arange(n_grid, dtype=jnp.int32) * tile + tile // 2, n - 1)
         ray_tile_s = jnp.arange(n, dtype=jnp.int32) // tile   # sorted space
         jcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+        # Ray fields packed once: row gathers are index-count bound (~5 ms
+        # per gather at 262k regardless of width, docs/PERF.md round 5), so
+        # the per-round reorder moves o/d/time/tcap with ONE gather instead
+        # of four.
+        ray_pack = jnp.concatenate(
+            [o, d, time[:, None], jnp.zeros((n, 1), jnp.float32)], axis=1)
 
         def step(todo, best_t, best_raw, remaining_union: bool):
             """One re-sorted confined pass. All carries live in GLOBAL ray
@@ -983,7 +1077,11 @@ class BVHKernelIntersector:
             # launch with empty start sets. Morton below the treelet id
             # keeps intra-tile coherence for the leaf tests.
             order = jnp.argsort((key << 20) | (morton >> 4))
-            o_s, d_s, tm_s = o[order], d[order], time[order]
+            tcap = jnp.where(pending, best_t, t_min)
+            pk = jnp.concatenate(
+                [ray_pack[:, :7], tcap[:, None]], axis=1)[order]
+            o_s, d_s, tm_s, tcap_s = pk[:, 0:3], pk[:, 3:6], pk[:, 6], \
+                pk[:, 7]
             key_s = key[order]
 
             if remaining_union:
@@ -1022,12 +1120,13 @@ class BVHKernelIntersector:
             starts = jnp.where(over[:, None], fallback, starts)
             served = jnp.where(over[:, None], served_over,
                                tile_any)                      # (n_grid, T)
-            tcap_s = jnp.where(pending, best_t, t_min)[order]
             t_r, i_r = fn(o_s, d_s, tm_s, t_min, t_max,
                           starts=starts, tcap=tcap_s, raw_idx=True)
-            # scatter-unsort results and the served sets back to global
-            t_g = jnp.zeros_like(best_t).at[order].set(t_r)
-            i_g = jnp.full_like(best_raw, -1).at[order].set(i_r)
+            # packed scatter-unsort back to global (one index pass)
+            res = jnp.zeros((n, 2), jnp.float32).at[order].set(
+                jnp.stack([t_r, i_r.astype(jnp.float32)], axis=1))
+            t_g = res[:, 0]
+            i_g = res[:, 1].astype(jnp.int32)
             improved = (i_g >= 0) & (t_g < best_t)
             best_t = jnp.where(improved, t_g, best_t)
             best_raw = jnp.where(improved, i_g, best_raw)
@@ -1112,7 +1211,7 @@ REBIN_NODES = 4096
 def attach(cs, seed: int = 1, sort: bool = True,
            interpret: bool | None = None, two_pass: bool = False,
            rebin: bool | None = None, rounds: int = 2,
-           treelet_target: int = 512):
+           treelet_target: int = 512, sched: str | None = None):
     """Build a leaf-16 BVH4, reorder the scene's primitives, and return
     (cs_reordered, BVHKernelIntersector). Mirrors accel.traverse.attach but
     with the kernel's wide leaves. rebin=None auto-enables the multi-round
@@ -1145,8 +1244,13 @@ def attach(cs, seed: int = 1, sort: bool = True,
     # Scheduler choice for dragon-class trees: "itin" (round-5 precomputed
     # itineraries over the 2-level hierarchy, the default) or "v2" (the
     # round-4 masked-argmin re-binning, kept for A/B).
-    sched = os.environ.get("IZPI_DRAGON_SCHED", "itin")
-    itin = rebin and sched != "v2" and boxes.shape[0] > 16
+    # Default v2: the itinerary scheduler wins standalone (168 vs 254 ms
+    # at 262k synthetic bounce rays) but measured SLOWER inside the
+    # production pool while-loop (dragon e2e 0.131 vs 0.234 Mrays/s) — an
+    # in-loop degradation not yet attributed; see docs/PERF.md round 5.
+    if sched is None:
+        sched = os.environ.get("IZPI_DRAGON_SCHED", "v2")
+    itin = rebin and sched == "itin" and boxes.shape[0] > 16
     super_boxes = subtable = None
     if itin:
         boxes, nodes, super_boxes, subtable = build_supers(boxes, nodes)

@@ -112,9 +112,17 @@ def _render_aov(cs, meta, settings, intersect, nx, ny, spp, seed,
 
 
 # Below this primitive count brute force wins on TPU: a dense N×P pass is
-# pure VPU work with zero divergence, while BVH traversal pays gathers and
-# lockstep idling. Above it the BVH's O(log P) wins.
-BVH_THRESHOLD = 512
+# pure VPU/MXU work with zero divergence, while the BVH kernel pays per-
+# launch fixed costs and — for incoherent bounce rays on a small tree —
+# union saturation (every tile visits most leaves). MEASURED (round-5
+# engine sweep, scripts/experiments/r5_engine_sweep.py, 128²@64 tri
+# soups): P=512 pool+mxu 3.2 vs pool+bvh 4.0 Mrays/s (≈tie), P=2048
+# pool+mxu 1.4 vs pool+bvh 0.2 (brute wins 7× — the tree is far below the
+# re-binned scheduler's engagement size, REBIN_NODES, so the kernel runs
+# saturated unions). The brute MXU pass stays the default until the tree
+# is big enough that confinement machinery engages; the Pallas megakernel
+# outranks both whenever the scene is eligible (P=512: 10.7).
+BVH_THRESHOLD = 16384
 
 
 def prepare(scene: st.Scene, use_bvh: Optional[bool] = None, seed: int = 1):

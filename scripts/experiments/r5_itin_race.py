@@ -33,8 +33,11 @@ def run(tag):
           flush=True)
     o, d, tm = camera_mod.get_rays(cs2.camera, s, t, u3)
     lo, hi = np.asarray(inter.lo), np.asarray(inter.hi)
-    o_b = jnp.asarray(rs.rand(N, 3) * (hi - lo) + lo, jnp.float32)
-    d_b = jnp.asarray(rs.randn(N, 3), jnp.float32)
+    # fresh per-run generator with a FIXED seed: the two schedulers must
+    # see identical bounce rays or the comparison is garbage
+    rb = np.random.RandomState(99)
+    o_b = jnp.asarray(rb.rand(N, 3) * (hi - lo) + lo, jnp.float32)
+    d_b = jnp.asarray(rb.randn(N, 3), jnp.float32)
 
     outs = {}
     for name, oo, dd in (("camera", o, d), ("bounce", o_b, d_b)):

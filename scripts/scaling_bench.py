@@ -141,7 +141,8 @@ def main():
                 prior = json.load(f)
         except Exception:
             prior = {}
-    record = {
+    record = dict(prior)  # preserve keys other probes wrote (e.g. the
+    record.update({       # prim-sharded dragon entry)
         "backend": jax.default_backend(),
         "emulated_mesh": emulated,
         "host_cores": os.cpu_count(),
@@ -169,7 +170,7 @@ def main():
             "projected_efficiency_strong_1_to_N", {}),
         "projected_efficiency_weak_1_to_N": projected_weak or prior.get(
             "projected_efficiency_weak_1_to_N", {}),
-    }
+    })
     if prior.get("backend") and record["backend"] != prior["backend"]:
         record["backend"] = f"{prior['backend']}+{record['backend']}"
     with open(out_path, "w") as f:

@@ -154,7 +154,8 @@ def test_itinerary_scheduler_matches_brute():
     scene = _random_tri_scene(3000, seed=41)
     cs, _ = compile_scene(scene)
     cs2, inter = bvh_kernel.attach(cs, seed=1, interpret=True, rebin=True,
-                                   rounds=3, treelet_target=64)
+                                   rounds=3, treelet_target=64,
+                                   sched="itin")
     assert inter.itin, "expected the itinerary scheduler to engage"
     o, d, time = _rays_at(cs2, 4096, seed=19)
     got = inter(o, d, time, 1e-3, prim.T_MAX)
