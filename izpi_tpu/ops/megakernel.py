@@ -291,10 +291,11 @@ def _sphere_test_t(pr, o, d, time, t_min, t_max, aa=None):
     return t, ok, far_ok, center
 
 
-def _sphere_test(pr, o, d, time, t_min, t_max):
+def _sphere_test(pr, o, d, time, t_min, t_max, aa=None):
     """Quadratic + reference root/normal quirks (primitives.sphere_t +
     finalize_hit: record normal unflipped on the far root)."""
-    t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min, t_max)
+    t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min, t_max,
+                                           aa=aa)
     radius = pr["g2"][0]
     p = _add(o, _scale(d, t))
     inv_r = 1.0 / radius if radius != 0.0 else 1.0
@@ -364,7 +365,15 @@ def build_clusters(prims, cam_origin, csize: int = 16):
     return clusters
 
 
-def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
+# Deferred sphere normals pay per SPHERE in the scan but cost two extra
+# loop-carried planes; sparse-sphere scenes (cornell, the spectral pyramid)
+# measured a 17% kernel regression from the carries alone (register
+# pressure in the big spectral kernel), while Shirley's ~490 spheres gain
+# 28%. Defer only when spheres dominate the scan.
+DEFER_MIN_SPHERES = 16
+
+
+def _scan_prims(prims, o, d, time, t_min, carry, want_mat, defer=True):
     """Unrolled closest-hit update over `prims` against the running carry
     (best_t f32, hit i32, nx, ny, nz f32, mat i32, rr f32, code i32) — i32
     hit because Mosaic cannot legalize vector<i1> through scf.if/while
@@ -381,7 +390,7 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
             t, ok, nn = _tri_test(pr, o, d, t_min, best_t)
         elif pr["kind"] == 1:
             t, ok, nn = _rect_test(pr, o, d, t_min, best_t)
-        elif pr["kind"] == 2:
+        elif pr["kind"] == 2 and defer:
             t, ok, far_ok, center = _sphere_test_t(pr, o, d, time, t_min,
                                                     best_t, aa=aa)
             better = ok & (t < best_t)
@@ -396,6 +405,8 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
             if want_mat:
                 mat_idx = jnp.where(better, pr["mat"], mat_idx)
             continue
+        elif pr["kind"] == 2:
+            t, ok, nn = _sphere_test(pr, o, d, time, t_min, best_t, aa=aa)
         else:
             continue
         if pr["flip"]:
@@ -404,7 +415,8 @@ def _scan_prims(prims, o, d, time, t_min, carry, want_mat):
         best_t = jnp.where(better, t, best_t)
         hit_i = jnp.where(better, 1, hit_i)
         n = _sel(better, nn, n)
-        code = jnp.where(better, 0, code)
+        if defer:
+            code = jnp.where(better, 0, code)
         if want_mat:
             mat_idx = jnp.where(better, pr["mat"], mat_idx)
     return (best_t, hit_i, n[0], n[1], n[2], mat_idx, rr, code)
@@ -432,15 +444,18 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
     per-lane best_t feeds the slab far plane, so clusters behind every
     lane's current hit are skipped too (tMax shrink, bvh4.go:130)."""
     shape = o[0].shape
+    defer = sum(1 for pr in prims if pr["kind"] == 2) >= DEFER_MIN_SPHERES
+    zf0 = jnp.zeros(shape, jnp.float32)
+    zi0 = jnp.zeros(shape, jnp.int32)
     carry = (jnp.full(shape, t_max_init, jnp.float32),
-             jnp.zeros(shape, jnp.int32),
-             jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-             jnp.zeros(shape, jnp.float32),
+             zi0,
+             zf0, zf0, zf0,
              jnp.full(shape, -1, jnp.int32),
-             jnp.ones(shape, jnp.float32),
-             jnp.zeros(shape, jnp.int32))
+             zf0 + 1.0 if defer else zf0,
+             zi0)
     if clusters is None:
-        carry = _scan_prims(prims, o, d, time, t_min, carry, want_mat)
+        carry = _scan_prims(prims, o, d, time, t_min, carry, want_mat,
+                            defer=defer)
     else:
         inv = tuple(1.0 / jnp.where(dc == 0.0, 1e-30, dc) for dc in d)
         for bbox, cprims in clusters:
@@ -456,7 +471,8 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
                 anyhit,
                 lambda c, cp=cprims: _scan_prims(prims=cp, o=o, d=d,
                                                  time=time, t_min=t_min,
-                                                 carry=c, want_mat=want_mat),
+                                                 carry=c, want_mat=want_mat,
+                                                 defer=defer),
                 lambda c: c,
                 carry)
     best_t, hit_i, nx, ny, nz, mat_idx, rr, code = carry
@@ -465,7 +481,7 @@ def _intersect_static(prims, o, d, time, t_min, t_max_init, want_mat=True,
     # n holds the winner's center and code packs (far_root, flip).
     n = (nx, ny, nz)
     is_sph = code > 0
-    if any(pr["kind"] == 2 for pr in prims):
+    if defer and any(pr["kind"] == 2 for pr in prims):
         codem = code - 1
         far = (codem & 1) == 1
         flip = (codem & 2) != 0
